@@ -1,0 +1,27 @@
+"""ROI (region-of-interest) channel selection for the GOD MEG dataset.
+
+Reference: ``meg_decoding/matlab_utils/load_meg.py:105-120`` — maps region
+strings like ``"occipital/left"`` to channel indices via a JSON file of
+region → sub-region → 1-indexed channel lists, converting to 0-indexed.
+"""
+
+from __future__ import annotations
+
+import json
+
+__all__ = ["roi"]
+
+
+def roi(cfg) -> list[int]:
+    """Resolve ``cfg.region`` strings to 0-indexed channel indices."""
+    with open(cfg.ch_region_path) as f:
+        ch_region_info = json.load(f)
+    roi_channels: list[int] = []
+    for reg in cfg.region:
+        parts = reg.split("/")
+        if len(parts) != 2:
+            raise ValueError(f"region must be 'region/subregion', got {reg!r}")
+        region, sub = parts
+        roi_channels += ch_region_info[region][sub]
+    # JSON stores MATLAB-style 1-indexed channels
+    return [r - 1 for r in roi_channels]

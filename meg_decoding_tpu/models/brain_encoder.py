@@ -1,0 +1,127 @@
+"""Brain encoders: the Défossez-style deep MEG/EEG encoder family.
+
+Reference: ``meg_decoding/models.py`` — ``SubjectBlock`` (244-273),
+``BrainEncoder`` (341-383), ``BrainEncoderSeq2Static`` (465-512).
+
+Public call signature matches the reference: ``model(X, subject_idxs)`` with
+``X: (B, C, T)``.  Internally everything runs time-major (B, T, C) — see
+``models/layers.py`` for the rationale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meg_decoding_tpu.models.layers import ConvBlock, SpatialAttention, SubjectLayers
+
+__all__ = ["SubjectBlock", "BrainEncoder", "BrainEncoderSeq2Static"]
+
+
+class SubjectBlock(nn.Module):
+    """SpatialAttention → 1×1 conv (D1→D1) → per-subject 1×1 mix.
+
+    Reference ``models.py:244-273``.  The middle 1×1 conv has a bias
+    (torch Conv1d default); the per-subject layer does not.
+    """
+
+    loc: np.ndarray
+    num_subjects: int
+    D1: int = 270
+    K: int = 32
+    d_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, X, subject_idxs, *, train: bool = False):
+        X = SpatialAttention(
+            loc=self.loc, D1=self.D1, K=self.K, d_drop=self.d_drop, name="spatial_attention"
+        )(X, deterministic=not train)
+        X = nn.Dense(features=self.D1, name="conv")(X)  # 1×1 conv ≡ Dense in NWC
+        X = SubjectLayers(num_subjects=self.num_subjects, dim=self.D1, name="subject_layer")(
+            X, subject_idxs
+        )
+        return X
+
+
+class BrainEncoder(nn.Module):
+    """SubjectBlock → 5×ConvBlock → 1×1 convs → GELU; mean-pool unless seq2seq.
+
+    Reference ``models.py:341-383``.  ``F`` becomes 1024 when the dataset was
+    built with wav2vec last-4-layer features (``models.py:348``) — the caller
+    resolves that and passes the final ``F`` here.
+    """
+
+    loc: np.ndarray
+    num_subjects: int
+    D1: int = 270
+    D2: int = 320
+    F: int = 512
+    K: int = 32
+    d_drop: float = 0.1
+    seq2seq: bool = False
+    num_blocks: int = 5
+
+    @nn.compact
+    def __call__(self, X, subject_idxs, *, train: bool = False):
+        X = jnp.swapaxes(X, 1, 2)  # (B, C, T) → (B, T, C)
+        X = SubjectBlock(
+            loc=self.loc,
+            num_subjects=self.num_subjects,
+            D1=self.D1,
+            K=self.K,
+            d_drop=self.d_drop,
+            name="subject_block",
+        )(X, subject_idxs, train=train)
+        for k in range(self.num_blocks):
+            X = ConvBlock(k=k, D2=self.D2, name=f"conv{k}")(X, train=train)
+        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1")(X), approximate=False)
+        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2")(X), approximate=False)
+        if self.seq2seq:
+            return jnp.swapaxes(X, 1, 2)  # (B, F, T) like the reference
+        return jnp.mean(X, axis=1)  # (B, F)
+
+
+class BrainEncoderSeq2Static(nn.Module):
+    """BrainEncoder variant with per-block kernel sizes and interleaved
+    average pooling that collapses the sequence to a static vector.
+
+    Reference ``models.py:465-512``: AvgPool1d(3, stride=2) after blocks 0-3,
+    AdaptiveAvgPool1d(1) after block 4.
+    """
+
+    loc: np.ndarray
+    num_subjects: int
+    ks_list: Sequence[int]
+    D1: int = 270
+    D2: int = 320
+    F: int = 512
+    K: int = 32
+    d_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, X, subject_idxs, *, train: bool = False):
+        X = jnp.swapaxes(X, 1, 2)
+        X = SubjectBlock(
+            loc=self.loc,
+            num_subjects=self.num_subjects,
+            D1=self.D1,
+            K=self.K,
+            d_drop=self.d_drop,
+            name="subject_block",
+        )(X, subject_idxs, train=train)
+        for k in range(5):
+            X = ConvBlock(k=k, D2=self.D2, ks=int(self.ks_list[k]), name=f"conv{k}")(
+                X, train=train
+            )
+            if k < 4:
+                # torch AvgPool1d(3, stride=2): valid padding
+                X = nn.avg_pool(X, window_shape=(3,), strides=(2,), padding="VALID")
+            else:
+                X = jnp.mean(X, axis=1, keepdims=True)  # global average pool
+        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1")(X), approximate=False)
+        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2")(X), approximate=False)
+        return X[:, 0, :]  # (B, F): time dim already collapsed to 1

@@ -1,0 +1,166 @@
+"""Core encoder layers (Flax linen), designed TPU-first.
+
+Reference semantics: ``meg_decoding/models.py`` —
+``SpatialAttention`` (167-220), ``SpatialDropout`` (223-241),
+``SubjectBlock`` (244-273), ``ConvBlock`` (276-322).
+
+TPU-first design notes (differences from the reference's CUDA/torch layout):
+
+* Internals are **time-major** ``(B, T, C)``: every channel-mixing op is then
+  a plain trailing-dim matmul that XLA tiles directly onto the MXU, and 1-D
+  convs become ``conv_general_dilated`` in NWC layout (the TPU-native conv
+  layout).  The public module API still takes ``(B, C, T)`` like the
+  reference; transposition happens once at the encoder boundary.
+* The reference applies its per-subject 1×1 conv with a Python loop over the
+  batch (``models.py:270-272``) — a serialization hot spot.  Here it is one
+  gathered batched matmul ``einsum('btc,bcd->btd', X, W[subject_idxs])``
+  (the same trick as the reference's own test oracle,
+  ``tests/test_modules/models.py:33-35``).
+* Spatial attention precomputes the Fourier basis ``cos/sin`` tables
+  (``models.py:190-195``) once as constants; the forward pass is two small
+  matmuls + softmax + one big ``(B·T, C) @ (C, D1)`` matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "fourier_basis",
+    "spatial_attention_weights",
+    "SpatialAttention",
+    "spatial_dropout_mask",
+    "SubjectLayers",
+    "ConvBlock",
+]
+
+
+def fourier_basis(loc: np.ndarray, K: int) -> tuple[np.ndarray, np.ndarray]:
+    """Precompute cos/sin tables of the 2-D Fourier basis at sensor positions.
+
+    Mirrors reference ``models.py:173-195``: for all (k, l) in [0, K)²,
+    ``phi[kl, c] = 2π (k·x_c + l·y_c)``; returns ``cos(phi), sin(phi)`` of
+    shape ``(K², C)``.
+    """
+    loc = np.asarray(loc, dtype=np.float32)
+    x, y = loc[:, 0], loc[:, 1]
+    k = np.repeat(np.arange(K, dtype=np.float32), K)  # kl-major like the ref
+    l = np.tile(np.arange(K, dtype=np.float32), K)
+    phi = 2.0 * np.pi * (np.outer(k, x) + np.outer(l, y))  # (K², C)
+    return np.cos(phi).astype(np.float32), np.sin(phi).astype(np.float32)
+
+
+def spatial_attention_weights(z_re, z_im, cos, sin):
+    """softmax over channels of ``Re(z)·cos + Im(z)·sin`` (models.py:204-213)."""
+    a = z_re @ cos + z_im @ sin  # (D1, C)
+    return jax.nn.softmax(a, axis=-1)
+
+
+def spatial_dropout_mask(rng, loc: jnp.ndarray, d_drop: float) -> jnp.ndarray:
+    """One random drop-center for the whole batch; zero channels within
+    ``d_drop`` of it (reference ``models.py:232-241``).  Returns (C,) mask."""
+    num_channels = loc.shape[0]
+    center_idx = jax.random.randint(rng, (), 0, num_channels)
+    center = loc[center_idx]
+    distances = jnp.linalg.norm(loc - center, axis=-1)
+    return jnp.where(distances < d_drop, 0.0, 1.0)
+
+
+class SpatialAttention(nn.Module):
+    """Fourier-parameterized spatial attention over sensor (x, y) positions.
+
+    Input  ``(B, T, C_in)`` time-major; output ``(B, T, D1)``.
+    Parameters ``z_re, z_im`` are the real/imag parts of the reference's
+    complex parameter ``z ∈ C^{D1×K²}`` (``models.py:186``), initialized
+    U[0, 1) to match ``torch.rand(..., dtype=cfloat)``.
+    """
+
+    loc: np.ndarray  # (C, 2) normalized sensor positions (static)
+    D1: int = 270
+    K: int = 32
+    d_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, X: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cos_t, sin_t = fourier_basis(self.loc, self.K)
+        cos_t = jnp.asarray(cos_t)
+        sin_t = jnp.asarray(sin_t)
+        z_re = self.param("z_re", nn.initializers.uniform(scale=1.0), (self.D1, self.K**2))
+        z_im = self.param("z_im", nn.initializers.uniform(scale=1.0), (self.D1, self.K**2))
+        sa_wts = spatial_attention_weights(z_re, z_im, cos_t, sin_t)  # (D1, C)
+
+        if not deterministic:
+            rng = self.make_rng("spatial")
+            mask = spatial_dropout_mask(rng, jnp.asarray(self.loc), self.d_drop)
+            X = X * mask[None, None, :]
+
+        # (B, T, C) @ (C, D1) — one MXU matmul over the flattened batch·time
+        return X @ sa_wts.T
+
+
+class SubjectLayers(nn.Module):
+    """Per-subject 1×1 channel mix as a gathered batched matmul.
+
+    Replaces the reference's per-sample Python loop over ``nn.ModuleList`` of
+    1×1 convs (``models.py:253-272``).  Weight (S, D, D), no bias
+    (``models.py:255-263`` uses ``bias=False``).
+    """
+
+    num_subjects: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, X: jnp.ndarray, subject_idxs: jnp.ndarray) -> jnp.ndarray:
+        # torch Conv1d default init: kaiming_uniform(a=√5) → U[-b, b] with
+        # b = 1/√fan_in; use the same range so training dynamics match.
+        bound = 1.0 / np.sqrt(self.dim)
+
+        def _init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        W = self.param("weight", _init, (self.num_subjects, self.dim, self.dim))
+        Wb = W[subject_idxs]  # (B, D, D)
+        return jnp.einsum("btc,bcd->btd", X, Wb)
+
+
+class ConvBlock(nn.Module):
+    """Residual conv block: conv(+skip) → BN → GELU ×2 → conv(2·D2) → GLU.
+
+    Reference ``models.py:276-322``; the dilations there are commented out,
+    so effective dilation is 1 (matched here, configurable for the
+    seq2static variant's per-block kernel sizes).
+    Operates in NWC ``(B, T, C)`` layout.
+    """
+
+    k: int
+    D2: int
+    ks: int = 3
+    bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
+
+    @nn.compact
+    def __call__(self, X: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        conv = lambda feats, name: nn.Conv(
+            features=feats, kernel_size=(self.ks,), padding="SAME", name=name
+        )
+        h = conv(self.D2, "conv0")(X)
+        if self.k > 0:
+            h = h + X  # skip (only when in/out dims match, models.py:308-312)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=self.bn_momentum, name="bn0"
+        )(h)
+        h = jax.nn.gelu(h, approximate=False)
+
+        h2 = conv(self.D2, "conv1")(h) + h
+        h2 = nn.BatchNorm(
+            use_running_average=not train, momentum=self.bn_momentum, name="bn1"
+        )(h2)
+        h2 = jax.nn.gelu(h2, approximate=False)
+
+        h3 = conv(2 * self.D2, "conv2")(h2)
+        a, b = jnp.split(h3, 2, axis=-1)  # GLU over features (models.py:320)
+        return a * jax.nn.sigmoid(b)

@@ -1,0 +1,103 @@
+"""CLIP-style symmetric InfoNCE loss with learnable temperature.
+
+Reference: ``meg_decoding/utils/loss.py:55-112`` (``CLIPLoss``): L2-normalize
+x and y, ``logits = x @ y.T * exp(temp)`` with learnable ``temp`` initialized
+from ``init_temperature`` (5.1 in ``configs/config.yaml:32``), then
+``(CE(logits, arange) + CE(logits.T, arange)) / 2``.
+
+TPU-first notes:
+* One matmul for the full logits matrix — float32 accumulation on the MXU.
+* Under batch sharding the global ``(B, B)`` logits need the embeddings of
+  every shard: ``clip_loss_sharded`` all-gathers the (small) ``(B_local, F)``
+  embeddings along the data axis inside ``shard_map`` and computes only the
+  local rows of both CE terms (the standard sharded-CLIP pattern).  Plain
+  ``clip_loss`` under ``jit`` + NamedSharding lets XLA insert the same
+  collectives automatically.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CLIPLoss", "clip_loss", "clip_logits", "clip_loss_local_rows"]
+
+EPS = 1e-12
+
+
+def _normalize(v: jnp.ndarray) -> jnp.ndarray:
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), EPS)
+
+
+def clip_logits(x: jnp.ndarray, y: jnp.ndarray, temp: jnp.ndarray) -> jnp.ndarray:
+    """Temperature-scaled cosine-similarity logits (B, B)."""
+    x = _normalize(x.reshape(x.shape[0], -1))
+    y = _normalize(y.reshape(y.shape[0], -1))
+    logits = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    return logits * jnp.exp(temp)
+
+
+def _cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray, reduction: str) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll) if reduction == "mean" else jnp.sum(nll)
+
+
+def clip_loss(x, y, temp, reduction: str = "mean", return_logits: bool = False):
+    """Symmetric InfoNCE over the (global) batch. x, y: (B, ...)."""
+    logits = clip_logits(x, y, temp)
+    targets = jnp.arange(logits.shape[0])
+    loss = (_cross_entropy(logits, targets, reduction)
+            + _cross_entropy(logits.T, targets, reduction)) / 2.0
+    if return_logits:
+        return logits, loss
+    return loss
+
+
+def clip_loss_local_rows(x_local, y_local, temp, axis_name: str, reduction: str = "mean"):
+    """Sharded CLIP loss for use inside ``shard_map``/``pmap``.
+
+    Each device holds (B_local, F) slices of x and y.  All-gathers both
+    embeddings along ``axis_name`` (cheap: B×F floats over ICI), computes the
+    local rows of logits and of the transposed logits, and psum-combines the
+    per-shard CE sums so every device returns the same global loss.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name)
+    b_local = x_local.shape[0]
+
+    x_local = _normalize(x_local.reshape(b_local, -1))
+    y_local = _normalize(y_local.reshape(b_local, -1))
+    x_all = jax.lax.all_gather(x_local, axis_name, tiled=True)  # (B_global, F)
+    y_all = jax.lax.all_gather(y_local, axis_name, tiled=True)
+
+    scale = jnp.exp(temp)
+    local_targets = idx * b_local + jnp.arange(b_local)
+
+    # rows of logits for local x vs all y, and local y vs all x
+    logits_xy = jnp.dot(x_local, y_all.T, preferred_element_type=jnp.float32) * scale
+    logits_yx = jnp.dot(y_local, x_all.T, preferred_element_type=jnp.float32) * scale
+
+    loss_sum = (_cross_entropy(logits_xy, local_targets, "sum")
+                + _cross_entropy(logits_yx, local_targets, "sum")) / 2.0
+    total = jax.lax.psum(loss_sum, axis_name)
+    if reduction == "mean":
+        total = total / (b_local * n)
+    return total
+
+
+class CLIPLoss(nn.Module):
+    """Learnable-temperature CLIP loss as a module (temp is a trained param,
+    optimized jointly with the encoder exactly as in reference
+    ``train.py:158-162``)."""
+
+    init_temperature: float = 5.1
+    reduction: str = "mean"
+
+    @nn.compact
+    def __call__(self, x, y, return_logits: bool = False):
+        temp = self.param(
+            "temp", lambda key, shape: jnp.full(shape, self.init_temperature), ()
+        )
+        return clip_loss(x, y, temp, reduction=self.reduction, return_logits=return_logits)

@@ -1,0 +1,106 @@
+"""Robust scaling, clamping, baseline correction, epoching — the batch-time
+preprocessing chain, as jit-able XLA ops.
+
+Reference semantics:
+* ``scaleAndClamp`` / ``scaleAndClamp_single`` (``preproc_utils.py:69-105``):
+  sklearn ``RobustScaler`` fit per sample — center by the per-channel
+  **median** over time, scale by the per-channel **IQR** (25–75th
+  percentiles), then clamp to ±clamp_lim.  The reference refits sklearn on
+  every batch on the host (``gwilliams2022.py:654-662``) — a major hot spot;
+  here it is one fused device op (sort-based percentiles over time).
+* ``baseline_correction_single`` (``preproc_utils.py:128-142``): subtract the
+  per-channel mean of the first ``baseline_len_samp`` samples of each chunk.
+  (Note: ``GODCollator`` has a dead variant using the *last* samples,
+  ``god.py:207-221``; the live path calls the imported 'first' version.)
+* epoching (``god.py:99-108``; ``gwilliams2022.py:139``): slice fixed-length
+  windows at onset indices — here a single gather, vmap-able and shardable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "robust_scale",
+    "scale_and_clamp",
+    "baseline_correct",
+    "epoch_slice",
+    "collate_preprocess",
+]
+
+
+def _percentile_sorted(xs: jnp.ndarray, q: float) -> jnp.ndarray:
+    """Linear-interpolated percentile along the last axis of pre-sorted data
+    (numpy 'linear' method — what sklearn RobustScaler uses)."""
+    n = xs.shape[-1]
+    pos = q / 100.0 * (n - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo
+    return xs[..., lo] * (1 - frac) + xs[..., hi] * frac
+
+
+def robust_scale(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """(x − median) / IQR along ``axis`` (RobustScaler semantics).
+
+    IQR of exactly 0 (constant signal) divides by 1.0, matching sklearn's
+    ``scale_ = 1`` fallback for zero-variance features.
+    """
+    x_moved = jnp.moveaxis(x, axis, -1)
+    xs = jnp.sort(x_moved, axis=-1)
+    med = _percentile_sorted(xs, 50.0)
+    q25 = _percentile_sorted(xs, 25.0)
+    q75 = _percentile_sorted(xs, 75.0)
+    iqr = q75 - q25
+    iqr = jnp.where(iqr == 0.0, 1.0, iqr)
+    scaled = (x_moved - med[..., None]) / iqr[..., None]
+    return jnp.moveaxis(scaled, -1, axis)
+
+
+@partial(jax.jit, static_argnames=("clamp",))
+def scale_and_clamp(X: jnp.ndarray, clamp_lim: float, clamp: bool = True) -> jnp.ndarray:
+    """Per-sample, per-channel robust scale over time + clamp.
+
+    X: (..., C, T).  Mirrors ``scaleAndClamp`` (fit per leading index over
+    the time axis) fused into one op.
+    """
+    out = robust_scale(X, axis=-1)
+    if clamp:
+        out = jnp.clip(out, -clamp_lim, clamp_lim)
+    return out
+
+
+@partial(jax.jit, static_argnames=("baseline_len_samp",))
+def baseline_correct(X: jnp.ndarray, baseline_len_samp: int) -> jnp.ndarray:
+    """Subtract the mean of the first ``baseline_len_samp`` samples, per
+    channel per chunk.  X: (..., C, T)."""
+    baseline = jnp.mean(X[..., :baseline_len_samp], axis=-1, keepdims=True)
+    return X - baseline
+
+
+def epoch_slice(x: jnp.ndarray, onsets: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Gather fixed-length windows: x (C, T), onsets (N,) → (N, C, length).
+
+    One advanced gather — XLA lowers this to an efficient dynamic-gather; it
+    replaces the reference's Python epoching loop (``god.py:102-107``).
+    Out-of-range onsets are clipped to the valid range (XLA gather clamps).
+    """
+    idx = onsets[:, None] + jnp.arange(length)[None, :]  # (N, length)
+    return jnp.take(x, idx, axis=-1).transpose(1, 0, 2)  # (C,N,L) → (N,C,L)
+
+
+def collate_preprocess(
+    X: jnp.ndarray, baseline_len_samp: int, clamp_lim: float, clamp: bool = True
+) -> jnp.ndarray:
+    """The jitted collate kernel: baseline correction → robust scale → clamp.
+
+    Replaces ``Gwilliams2022Collator``/``GODCollator`` (``gwilliams2022.py:
+    641-662``, ``god.py:178-205``) which refit sklearn scalers on the host
+    per batch.  X: (B, C, T).
+    """
+    if baseline_len_samp > 0:
+        X = baseline_correct(X, baseline_len_samp)
+    return scale_and_clamp(X, clamp_lim, clamp)

@@ -1,0 +1,241 @@
+"""Oracle tests for losses and retrieval metrics.
+
+CLIP loss is checked against a torch implementation of the reference's exact
+math (``meg_decoding/utils/loss.py:86-107``, test-only oracle); the sharded
+variant must agree with the global one on an 8-device CPU mesh.  Retrieval
+metrics are checked against explicit O(B²) loops — the reference's own
+implementation strategy (``models.py:425-445``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from meg_decoding_tpu.objectives.clip import (
+    CLIPLoss,
+    clip_logits,
+    clip_loss,
+    clip_loss_local_rows,
+)
+from meg_decoding_tpu.objectives.losses import (
+    clip_like_classification_loss,
+    mse_loss,
+    same_label_loss,
+    smooth_category_targets,
+)
+from meg_decoding_tpu.objectives.retrieval import (
+    cosine_similarity_matrix,
+    pairwise_identification,
+    retrieval_accuracy,
+    zero_shot_classification,
+)
+
+
+def _xy(B=16, F=32, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(B, F).astype(np.float32), rng.randn(B, F).astype(np.float32))
+
+
+class TestClipLoss:
+    def test_against_torch_reference_math(self):
+        torch = pytest.importorskip("torch")
+        x, y = _xy()
+        temp = 5.1
+        got = float(clip_loss(jnp.array(x), jnp.array(y), jnp.array(temp)))
+
+        xt, yt = torch.tensor(x), torch.tensor(y)
+        xt = xt / xt.norm(dim=-1, keepdim=True)
+        yt = yt / yt.norm(dim=-1, keepdim=True)
+        logits = (xt @ yt.T) * torch.exp(torch.tensor(temp))
+        targets = torch.arange(16)
+        ce = torch.nn.CrossEntropyLoss(reduction="mean")
+        expect = float((ce(logits, targets) + ce(logits.t(), targets)) / 2)
+        assert got == pytest.approx(expect, rel=1e-5)
+
+    def test_module_has_trainable_temp(self):
+        x, y = _xy(8, 16)
+        mod = CLIPLoss(init_temperature=5.1)
+        params = mod.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(y))
+        assert float(params["params"]["temp"]) == pytest.approx(5.1)
+        grads = jax.grad(
+            lambda p: mod.apply(p, jnp.array(x), jnp.array(y))
+        )(params)
+        assert np.isfinite(float(grads["params"]["temp"]))
+        assert float(jnp.abs(grads["params"]["temp"])) > 0
+
+    def test_flattens_seq2seq_embeddings(self):
+        # reference reshapes (B, F, T) → (B, F·T) before normalizing (loss.py:88-89)
+        rng = np.random.RandomState(1)
+        x = rng.randn(6, 8, 4).astype(np.float32)
+        y = rng.randn(6, 8, 4).astype(np.float32)
+        a = clip_loss(jnp.array(x), jnp.array(y), jnp.array(0.0))
+        b = clip_loss(jnp.array(x.reshape(6, -1)), jnp.array(y.reshape(6, -1)),
+                      jnp.array(0.0))
+        assert float(a) == pytest.approx(float(b), rel=1e-6)
+
+    def test_sharded_matches_global(self):
+        x, y = _xy(B=16, F=8, seed=3)
+        temp = jnp.array(2.0)
+        expect = float(clip_loss(jnp.array(x), jnp.array(y), temp))
+
+        devices = jax.devices("cpu")[:4]
+        mesh = Mesh(np.array(devices), ("data",))
+        sharded = jax.jit(
+            jax.shard_map(
+                lambda xl, yl: clip_loss_local_rows(xl, yl, temp, "data"),
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=P(),
+            )
+        )
+        got = float(sharded(jnp.array(x), jnp.array(y)))
+        assert got == pytest.approx(expect, rel=1e-5)
+
+    def test_sharded_grads_match_global(self):
+        x, y = _xy(B=8, F=8, seed=4)
+        temp = jnp.array(1.0)
+        g_global = jax.grad(lambda xx: clip_loss(xx, jnp.array(y), temp))(jnp.array(x))
+
+        devices = jax.devices("cpu")[:4]
+        mesh = Mesh(np.array(devices), ("data",))
+        loss_sharded = jax.jit(
+            jax.shard_map(
+                lambda xl, yl: clip_loss_local_rows(xl, yl, temp, "data"),
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=P(),
+            )
+        )
+        g_sharded = jax.grad(lambda xx: loss_sharded(xx, jnp.array(y)))(jnp.array(x))
+        np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_global),
+                                   rtol=1e-4, atol=1e-6)
+
+
+class TestAuxLosses:
+    def test_mse_loss_oracle(self):
+        rng = np.random.RandomState(5)
+        Y = rng.randn(4, 8, 3).astype(np.float32)
+        Z = rng.randn(4, 8, 3).astype(np.float32)
+        got = float(mse_loss(jnp.array(Y), jnp.array(Z)))
+        expect = np.mean(np.sum((Y - Z) ** 2, axis=(1, 2)))
+        assert got == pytest.approx(float(expect), rel=1e-5)
+
+    def test_same_label_loss_oracle(self):
+        rng = np.random.RandomState(6)
+        Z = rng.randn(6, 4).astype(np.float32)
+        labels = np.array([0, 1, 0, 2, 1, 0])
+        got = float(same_label_loss(jnp.array(Z), jnp.array(labels)))
+        # explicit double loop oracle (intended semantics: anchor = Z[i])
+        vals = []
+        for i in range(6):
+            for j in range(6):
+                if i != j and labels[i] == labels[j]:
+                    vals.append(np.mean((Z[i] - Z[j]) ** 2))
+        assert got == pytest.approx(float(np.mean(vals)), rel=1e-5)
+
+    def test_smooth_targets_block(self):
+        t = np.asarray(smooth_category_targets(jnp.array([9]), 1200,
+                                               same_category_length=8,
+                                               smooth_value=0.1))[0]
+        # l=9 → l_mod=1 → block [8, 16) gets 0.1; true index 9 gets 1.0
+        assert t[9] == 1.0
+        assert t[8] == pytest.approx(0.1)
+        assert t[15] == pytest.approx(0.1)
+        assert t[16] == 0.0 and t[7] == 0.0
+
+    def test_classification_loss_modes_run(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(5, 16).astype(np.float32)
+        gallery = rng.randn(40, 16).astype(np.float32)
+        labels = jnp.array([0, 3, 11, 25, 39])
+        for crit in ["crossentropy", "binary_crossentropy"]:
+            for train in [True, False]:
+                v = clip_like_classification_loss(
+                    jnp.array(x), labels, jnp.array(gallery), jnp.array(1.0),
+                    criterion=crit, train=train)
+                assert np.isfinite(float(v))
+        gss = cosine_similarity_matrix(jnp.array(gallery), jnp.array(gallery))
+        v = clip_like_classification_loss(
+            jnp.array(x), labels, jnp.array(gallery), jnp.array(1.0),
+            criterion="similarity_crossentropy", train=True,
+            gallery_self_similarity=gss)
+        assert np.isfinite(float(v))
+
+    def test_classification_ce_eval_is_standard_ce(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(8)
+        x = rng.randn(4, 8).astype(np.float32)
+        gallery = rng.randn(10, 8).astype(np.float32)
+        labels = np.array([1, 0, 9, 4])
+        got = float(clip_like_classification_loss(
+            jnp.array(x), jnp.array(labels), jnp.array(gallery), jnp.array(0.5),
+            criterion="crossentropy", train=False))
+        xt = torch.tensor(x); gt = torch.tensor(gallery)
+        xt = xt / xt.norm(dim=-1, keepdim=True)
+        gt = gt / gt.norm(dim=-1, keepdim=True)
+        logits = xt @ gt.T * float(np.exp(0.5))
+        expect = float(torch.nn.CrossEntropyLoss()(logits, torch.tensor(labels)))
+        assert got == pytest.approx(expect, rel=1e-4)
+
+
+class TestRetrieval:
+    def test_similarity_matrix_oracle(self):
+        x, y = _xy(B=12, F=6, seed=9)
+        sim = np.asarray(cosine_similarity_matrix(jnp.array(x), jnp.array(y)))
+        # oracle: the reference's O(B²) loop (models.py:425-432)
+        for i in range(12):
+            for j in range(12):
+                expect = (x[i] @ y[j]) / max(np.linalg.norm(x[i]) * np.linalg.norm(y[j]),
+                                             1e-8)
+                assert sim[i, j] == pytest.approx(float(expect), abs=1e-5)
+
+    def test_retrieval_accuracy_perfect_and_random(self):
+        rng = np.random.RandomState(10)
+        Z = rng.randn(20, 8).astype(np.float32)
+        acc = retrieval_accuracy(jnp.array(Z), jnp.array(Z), top_ks=(1, 10))
+        assert float(acc["top1"]) == 1.0
+        assert float(acc["top10"]) == 1.0
+
+    def test_retrieval_accuracy_matches_loop(self):
+        rng = np.random.RandomState(11)
+        Z = rng.randn(30, 8).astype(np.float32)
+        Y = Z + 0.5 * rng.randn(30, 8).astype(np.float32)
+        acc = retrieval_accuracy(jnp.array(Z), jnp.array(Y), top_ks=(1, 10))
+        sim = np.zeros((30, 30))
+        for i in range(30):
+            for j in range(30):
+                sim[i, j] = (Z[i] @ Y[j]) / max(np.linalg.norm(Z[i]) * np.linalg.norm(Y[j]), 1e-8)
+        sim = sim.T  # reference transposes before scoring (models.py:432)
+        top1 = np.mean(sim.argmax(1) == np.arange(30))
+        top10 = np.mean([i in np.argsort(-sim[i])[:10] for i in range(30)])
+        assert float(acc["top1"]) == pytest.approx(top1)
+        assert float(acc["top10"]) == pytest.approx(top10)
+
+    def test_zero_shot_classification(self):
+        rng = np.random.RandomState(12)
+        gallery = rng.randn(50, 16).astype(np.float32)
+        labels = np.array([3, 30, 49])
+        Z = gallery[labels] + 0.01 * rng.randn(3, 16).astype(np.float32)
+        acc = zero_shot_classification(jnp.array(Z), jnp.array(gallery),
+                                       jnp.array(labels), top_ks=(1, 10))
+        assert float(acc["top1"]) == 1.0
+
+    def test_pairwise_identification_oracle(self):
+        rng = np.random.RandomState(13)
+        Z = rng.randn(10, 12).astype(np.float32)
+        Y = Z + rng.randn(10, 12).astype(np.float32)
+        got = np.asarray(pairwise_identification(jnp.array(Z), jnp.array(Y),
+                                                 metric="correlation"))
+        # oracle: explicit pairwise-win count with np.corrcoef
+        for i in range(10):
+            wins = 0
+            true_c = np.corrcoef(Z[i], Y[i])[0, 1]
+            for j in range(10):
+                if j == i:
+                    continue
+                if true_c > np.corrcoef(Z[i], Y[j])[0, 1]:
+                    wins += 1
+            assert got[i] == pytest.approx(wins / 9, abs=1e-5)

@@ -1,0 +1,159 @@
+"""Oracle tests for the DSP ops against scipy / sklearn / numpy.
+
+The reference relies on MNE + sklearn on the host for this chain; our XLA
+implementations must match those semantics (SURVEY §7 "hard parts" #2, #3).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from meg_decoding_tpu.ops.fir import apply_fir, bandpass_filter, design_bandpass_fir
+from meg_decoding_tpu.ops.resample import resample_fft, resample_len
+from meg_decoding_tpu.ops.scaling import (
+    baseline_correct,
+    collate_preprocess,
+    epoch_slice,
+    robust_scale,
+    scale_and_clamp,
+)
+
+
+class TestFIR:
+    def test_design_is_linear_phase_odd(self):
+        h = design_bandpass_fir(1000.0, 1.0, 60.0)
+        assert len(h) % 2 == 1
+        np.testing.assert_allclose(h, h[::-1], atol=1e-12)  # symmetric
+
+    def test_passband_and_stopband(self):
+        fs = 500.0
+        h = design_bandpass_fir(fs, 1.0, 60.0)
+        from scipy.signal import freqz
+
+        w, H = freqz(h, worN=8192, fs=fs)
+        Hmag = np.abs(H)
+        passband = (w > 5) & (w < 50)
+        stop_hi = w > 90
+        assert np.all(np.abs(Hmag[passband] - 1) < 0.01)
+        assert np.all(Hmag[stop_hi] < 0.01)
+
+    def test_apply_matches_scipy_zero_phase(self):
+        """Oracle: direct zero-padded convolution with delay compensation."""
+        rng = np.random.RandomState(0)
+        T = 2000
+        x = rng.randn(3, T).astype(np.float32)
+        h = design_bandpass_fir(200.0, 2.0, 40.0, filter_length=101)
+        got = np.asarray(apply_fir(jnp.array(x), jnp.array(h), pad="zero"))
+        from scipy.signal import fftconvolve
+
+        expect = fftconvolve(x, h[None, :], mode="same", axes=-1)
+        np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+    def test_reflect_limited_interior_matches_zero_pad(self):
+        # away from the edges the padding mode must not matter
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 3000).astype(np.float32)
+        h = design_bandpass_fir(200.0, 2.0, 40.0, filter_length=101)
+        a = np.asarray(apply_fir(jnp.array(x), jnp.array(h), pad="zero"))
+        b = np.asarray(apply_fir(jnp.array(x), jnp.array(h)))
+        np.testing.assert_allclose(a[:, 200:-200], b[:, 200:-200], rtol=1e-3, atol=1e-4)
+
+    def test_bandpass_removes_out_of_band(self):
+        fs = 1000.0
+        t = np.arange(int(10 * fs)) / fs
+        x = (np.sin(2 * np.pi * 10 * t) + np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+        y = np.asarray(bandpass_filter(jnp.array(x[None]), fs, 1.0, 60.0))[0]
+        mid = slice(int(2 * fs), int(8 * fs))
+        # 10 Hz survives, 200 Hz dies
+        ref10 = np.sin(2 * np.pi * 10 * t)[mid]
+        corr = np.corrcoef(y[mid], ref10)[0, 1]
+        assert corr > 0.99
+        assert np.std(y[mid] - ref10 * np.dot(y[mid], ref10) / np.dot(ref10, ref10)) < 0.05
+
+
+class TestResample:
+    def test_matches_scipy_resample(self):
+        from scipy.signal import resample as sp_resample
+
+        rng = np.random.RandomState(2)
+        x = rng.randn(4, 1200).astype(np.float64)
+        new_len = resample_len(1200, down=1000 / 120)  # 1000→120 Hz
+        got = np.asarray(resample_fft(jnp.array(x), down=1000 / 120))
+        expect = sp_resample(x, new_len, axis=-1)
+        assert got.shape == (4, new_len)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+    def test_upsample(self):
+        from scipy.signal import resample as sp_resample
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(2, 100).astype(np.float64)
+        got = np.asarray(resample_fft(jnp.array(x), up=2.4))
+        expect = sp_resample(x, 240, axis=-1)
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+
+    def test_tone_preserved(self):
+        fs, new_fs = 1000, 120
+        t = np.arange(5000) / fs
+        x = np.sin(2 * np.pi * 7 * t)
+        y = np.asarray(resample_fft(jnp.array(x[None]), down=fs / new_fs))[0]
+        t2 = np.arange(len(y)) / new_fs
+        expect = np.sin(2 * np.pi * 7 * t2)
+        assert np.corrcoef(y[10:-10], expect[10:-10])[0, 1] > 0.999
+
+
+class TestRobustScale:
+    def test_matches_sklearn(self):
+        from sklearn.preprocessing import RobustScaler
+
+        rng = np.random.RandomState(4)
+        X = rng.randn(5, 8, 100).astype(np.float64) * 7 + 3  # (B, C, T)
+        got = np.asarray(robust_scale(jnp.array(X), axis=-1))
+        for b in range(5):
+            expect = RobustScaler().fit_transform(X[b].T).T  # sklearn: samples×features
+            np.testing.assert_allclose(got[b], expect, rtol=1e-5, atol=1e-7)
+
+    def test_constant_channel_no_nan(self):
+        X = jnp.ones((2, 3, 50))
+        out = np.asarray(robust_scale(X))
+        assert np.all(np.isfinite(out))
+        np.testing.assert_allclose(out, 0.0)
+
+    def test_clamp(self):
+        rng = np.random.RandomState(5)
+        X = jnp.array(rng.randn(2, 4, 60) * 100)
+        out = np.asarray(scale_and_clamp(X, clamp_lim=5.0, clamp=True))
+        assert out.max() <= 5.0 and out.min() >= -5.0
+
+
+class TestBaselineEpoch:
+    def test_baseline_correct_oracle(self):
+        rng = np.random.RandomState(6)
+        X = rng.randn(3, 4, 50).astype(np.float32)
+        got = np.asarray(baseline_correct(jnp.array(X), 10))
+        expect = X - X[..., :10].mean(-1, keepdims=True)
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+    def test_epoch_slice_matches_loop(self):
+        rng = np.random.RandomState(7)
+        x = rng.randn(6, 500).astype(np.float32)
+        onsets = np.array([0, 37, 123, 444])
+        got = np.asarray(epoch_slice(jnp.array(x), jnp.array(onsets), 50))
+        expect = np.stack([x[:, o : o + 50] for o in onsets])
+        np.testing.assert_allclose(got, expect)
+
+    def test_collate_matches_reference_chain(self):
+        """Oracle: the exact collator chain — baseline_correction_single then
+        per-sample RobustScaler + clamp (gwilliams2022.py:654-662)."""
+        from sklearn.preprocessing import RobustScaler
+
+        rng = np.random.RandomState(8)
+        X = rng.randn(4, 5, 80).astype(np.float64) * 3
+        got = np.asarray(collate_preprocess(jnp.array(X), baseline_len_samp=10,
+                                            clamp_lim=20.0))
+        Xb = X - X[..., :10].mean(-1, keepdims=True)
+        for b in range(4):
+            expect = RobustScaler().fit_transform(Xb[b].T).T
+            expect = np.clip(expect, -20, 20)
+            np.testing.assert_allclose(got[b], expect, rtol=1e-4, atol=1e-6)
