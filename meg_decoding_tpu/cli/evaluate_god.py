@@ -1,0 +1,120 @@
+"""GOD evaluation: zero-shot classification + pairwise identification.
+
+Reference: ``evaluate.py`` — loads the val split and ``model_best.pt``
+(:134-142), scores predictions against the 50-image CLIP gallery
+(``zero_shot_classification``, :32-82), and computes pairwise identification
+accuracy via correlation and cosine (:191-261), including trial averaging
+(:182-189).  ``eval_wowandb_cv.py`` adds retrieval + error analysis;
+``eval_wowandb_cv_imagenet_val.py`` extends the gallery with 50k ImageNet-val
+distractors (:149-160,366-391).
+
+All metrics here are single matmuls on device (the reference loops in Python
+per pair).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from meg_decoding_tpu.core.config import Config
+from meg_decoding_tpu.data.god import build_god_dataset
+from meg_decoding_tpu.data.layout import ch_locations_2d
+from meg_decoding_tpu.data.roi import roi
+from meg_decoding_tpu.models.factory import get_model
+from meg_decoding_tpu.objectives.retrieval import (
+    pairwise_identification,
+    retrieval_accuracy,
+    zero_shot_classification,
+)
+from meg_decoding_tpu.ops.scaling import collate_preprocess
+from meg_decoding_tpu.train.checkpoint import CheckpointManager
+from meg_decoding_tpu.train.state import create_train_state
+
+__all__ = ["run", "predict"]
+
+
+def _build(cfg):
+    source = build_god_dataset(cfg, "train")
+    val = build_god_dataset(cfg, "val", mean_X=source.mean_X, std_X=source.std_X,
+                            mean_Y=source.mean_Y, std_Y=source.std_Y)
+    cfg.num_subjects = source.num_subjects
+    roi_channels = roi(cfg)
+    loc = ch_locations_2d(cfg, roi_channels)
+    model = get_model(cfg, loc=loc, num_channels=len(roi_channels))
+    return source, val, model
+
+
+def predict(cfg, model, state, dataset, batch_size: int = 256):
+    """Forward the whole dataset through the encoder (eval mode) with the
+    on-device collate chain."""
+    rate = cfg.preprocs.get("brain_resample_rate") or 0
+    baseline = int(rate * float(cfg.preprocs.get("baseline_len_sec", 0)))
+    clamp_lim = float(cfg.preprocs.get("clamp_lim", 20))
+
+    @jax.jit
+    def fwd(params, batch_stats, X, subs):
+        X = collate_preprocess(X, baseline, clamp_lim,
+                               bool(cfg.preprocs.get("clamp", True)))
+        variables = {"params": params["model"]}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, X, subs, train=False)
+
+    zs = []
+    for i in range(0, len(dataset), batch_size):
+        idx = np.arange(i, min(i + batch_size, len(dataset)))
+        X, _, subs = dataset.gather(idx)[:3]
+        zs.append(np.asarray(fwd(state.params, state.batch_stats, X, subs)))
+    return np.concatenate(zs, axis=0)
+
+
+def run(cfg: Config) -> dict:
+    save_root = cfg.get("save_root", "runs_out")
+    source, val, model = _build(cfg)
+
+    from meg_decoding_tpu.train.schedules import make_optimizer
+
+    optimizer = make_optimizer(cfg, int(cfg.get("updates", 1200)))
+    example = source.gather(np.arange(min(len(source), 8)))
+    abstract = create_train_state(model, optimizer, example, jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    state, which = ckpt.load_best_or_last(abstract)
+    print(f"loaded checkpoint: {which}")
+
+    Z = predict(cfg, model, state, val)
+    Y = np.asarray(val.Y)
+    labels = np.asarray(val.labels)
+
+    results = {}
+    # retrieval within the val set
+    acc = retrieval_accuracy(jnp.asarray(Z), jnp.asarray(Y), top_ks=(1, 10))
+    results.update({f"val_{k}": float(v) for k, v in acc.items()})
+
+    # zero-shot classification against the (test) gallery if provided
+    gallery_path = cfg.get("image_features_path")
+    if gallery_path:
+        gallery = np.load(gallery_path).astype(np.float32)
+        zs = zero_shot_classification(
+            jnp.asarray(Z), jnp.asarray(gallery), jnp.asarray(labels - 1),
+            top_ks=(1, 10),
+        )
+        results.update({f"zeroshot_{k}": float(v) for k, v in zs.items()})
+
+    # pairwise identification (the headline GOD number, evaluate.py:191-249)
+    for metric in ("correlation", "cosine"):
+        pid = pairwise_identification(jnp.asarray(Z), jnp.asarray(Y), metric=metric)
+        results[f"pairwise_{metric}"] = float(jnp.mean(pid))
+
+    out_path = os.path.join(save_root, "eval_results.json")
+    os.makedirs(save_root, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return results

@@ -1,0 +1,51 @@
+"""Hydra-style CLI argument handling shared by the entry-point scripts.
+
+Mirrors the reference's two invocation styles (SURVEY §5.6): decorator-style
+``python train.py dataset=GOD preprocs.clamp_lim=10`` overrides and
+programmatic ``compose(config_name=...)``.  Supports
+``--config-path/--config-name`` (hydra flags, and ``-cp/-cn`` shorthands).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from meg_decoding_tpu.core.config import Config, compose
+
+__all__ = ["parse_cli", "default_config_dir"]
+
+
+def default_config_dir() -> str:
+    # repo-root configs/ next to the entry scripts
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(here, "configs")
+
+
+def parse_cli(argv=None, default_config_name: str = "config") -> Config:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config_path = default_config_dir()
+    config_name = default_config_name
+    overrides = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("--config-path", "-cp"):
+            config_path = argv[i + 1]
+            i += 2
+        elif a in ("--config-name", "-cn"):
+            config_name = argv[i + 1]
+            i += 2
+        elif a.startswith("--config-path="):
+            config_path = a.split("=", 1)[1]
+            i += 1
+        elif a.startswith("--config-name="):
+            config_name = a.split("=", 1)[1]
+            i += 1
+        elif "=" in a:
+            overrides.append(a)
+            i += 1
+        else:
+            raise SystemExit(f"unrecognized argument {a!r} (expected key=value)")
+    cfg = compose(config_path, config_name, overrides)
+    return cfg

@@ -37,13 +37,14 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
     if name not in known:
         raise ValueError(f"no model named {name!r} is prepared (known: {sorted(known)})")
     if name in ("linear",):
-        return LinearEncoder(scp=bool(cfg.get("scp", True)))
+        return LinearEncoder(scp=bool(cfg.get("scp", True)), out_dim=_resolve_F(cfg))
     if name in ("eegnet", "eegnet_sub"):
         assert num_channels is not None, "eegnet needs num_channels"
         T = int(round((cfg.window.end - cfg.window.start) * cfg.preprocs.brain_resample_rate))
         return EEGNet(
             num_channels=num_channels,
             T=T,
+            out_dim=_resolve_F(cfg),
             F1=int(cfg.get("F1", 16)),
             D=int(cfg.get("D", 2)),
             F2=int(cfg.get("F2", 32)),

@@ -1,0 +1,116 @@
+"""Epoch driver: sampler → device gather → jitted steps → metrics → ckpt.
+
+Reference skeleton: ``train.py:178-274`` (epoch loop with per-batch updates,
+single-batch test pass, epoch metric means, model_last each epoch) and
+``train_wowandb_cv.py:274-357`` (adds model_best on best test top-10).
+
+Note: the reference updates Brennan only once per epoch using the *last*
+batch's gradients (``train.py:218-221``) — an apparent bug we do NOT
+reproduce; all datasets update per batch here (deviation documented, SURVEY
+§7 hard-part 7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from meg_decoding_tpu.data.packed import PackedDataset
+from meg_decoding_tpu.data.sampling import sample_with_replacement, shuffle_batches
+from meg_decoding_tpu.train.checkpoint import CheckpointManager
+from meg_decoding_tpu.utils.logging import RunLogger
+
+__all__ = ["fit"]
+
+
+def _mean_metrics(history: list[dict]) -> dict:
+    if not history:
+        return {}
+    keys = history[0].keys()
+    return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
+
+
+def fit(
+    cfg,
+    train_set: PackedDataset,
+    test_set: PackedDataset,
+    state,
+    train_step: Callable,
+    eval_step: Callable,
+    logger: RunLogger,
+    ckpt: Optional[CheckpointManager] = None,
+    seed: int = 0,
+    shard_fn: Callable | None = None,
+    with_labels: bool = False,
+):
+    """Run the full training loop; returns (final_state, best_metrics).
+
+    ``shard_fn`` (optional) device-puts a gathered batch with the mesh's data
+    sharding — the multi-chip path; identity on a single device.
+    """
+    epochs = int(cfg.epochs)
+    batch_size = int(cfg.batch_size)
+    use_sampler = bool(cfg.get("use_sampler", True))
+    updates = int(cfg.get("updates", max(len(train_set) // batch_size, 1)))
+    test_size = min(len(test_set), int(cfg.get("test_size", batch_size)))
+
+    key = jax.random.PRNGKey(seed)
+    best_top10 = -1.0
+    best_metrics: dict = {}
+
+    for epoch in range(epochs):
+        key, ekey, tkey = jax.random.split(key, 3)
+        if use_sampler:
+            idx_epoch = np.asarray(
+                sample_with_replacement(ekey, len(train_set), updates, batch_size)
+            )
+        else:
+            idx_epoch = shuffle_batches(ekey, len(train_set), batch_size)
+
+        train_hist = []
+        for idx in idx_epoch:
+            batch = train_set.gather(idx)
+            if shard_fn is not None:
+                batch = shard_fn(batch)
+            if with_labels and len(batch) == 4:
+                X, Y, subs, labels = batch
+                state, metrics = train_step(state, X, Y, subs, labels)
+            else:
+                X, Y, subs = batch[:3]
+                state, metrics = train_step(state, X, Y, subs)
+            train_hist.append(metrics)
+
+        # test pass: one batch of size test_size, sampled without replacement
+        test_idx = np.asarray(
+            jax.random.choice(tkey, len(test_set), (test_size,), replace=False)
+        )
+        tbatch = test_set.gather(test_idx)
+        if shard_fn is not None:
+            tbatch = shard_fn(tbatch)
+        if with_labels and len(tbatch) == 4:
+            tX, tY, tsubs, tlabels = tbatch
+            test_metrics, _ = eval_step(state.params, state.batch_stats, tX, tY,
+                                        tsubs, tlabels)
+        else:
+            tX, tY, tsubs = tbatch[:3]
+            test_metrics, _ = eval_step(state.params, state.batch_stats, tX, tY, tsubs)
+
+        tm = _mean_metrics(train_hist)
+        em = {f"test_{k}": float(v) for k, v in test_metrics.items()}
+        row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em}
+        logger.log(row)
+        logger.summary(epoch, epochs, row)
+
+        if ckpt is not None:
+            ckpt.save("model_last", state)
+            if em.get("test_top10", -1.0) > best_top10:
+                best_top10 = em.get("test_top10", -1.0)
+                best_metrics = row
+                ckpt.save("model_best", state)
+        elif em.get("test_top10", -1.0) > best_top10:
+            best_top10 = em.get("test_top10", -1.0)
+            best_metrics = row
+
+    return state, best_metrics

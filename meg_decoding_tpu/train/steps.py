@@ -1,0 +1,156 @@
+"""Jitted train / eval steps.
+
+One fused step = on-device collate (baseline + robust-scale + clamp,
+replacing the reference's host-side sklearn collators,
+``gwilliams2022.py:641-662``) → encoder forward → loss → grad → Adam update →
+retrieval metrics.  The whole thing is a single XLA program; under a sharded
+mesh the batch axis is partitioned and XLA inserts psum/all-gather over ICI.
+
+Loss variants mirror the reference entry points (SURVEY §2.9):
+* ``clip``            — train.py / train_wowandb_cv.py
+* ``clip+same_label`` — train_wowandb_cv_contrastive.py (:212-213,261,303)
+* ``mse``             — train_wowandb_cv_regression.py (:210), with optional
+                        manual L2 penalty (train_regression.py:250-253)
+* ``classification``  — train_my_classifier.py (MyCLIPLikeClassificationLoss)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from meg_decoding_tpu.objectives.clip import clip_loss
+from meg_decoding_tpu.objectives.losses import (
+    clip_like_classification_loss,
+    mse_loss,
+    same_label_loss,
+)
+from meg_decoding_tpu.objectives.retrieval import retrieval_accuracy
+from meg_decoding_tpu.ops.scaling import collate_preprocess
+from meg_decoding_tpu.train.state import TrainState
+
+__all__ = ["LossConfig", "CollateConfig", "make_train_step", "make_eval_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CollateConfig:
+    baseline_len_samp: int = 0
+    clamp_lim: float = 20.0
+    clamp: bool = True
+    enabled: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    kind: str = "clip"              # clip | mse | classification
+    reduction: str = "mean"
+    same_label_weight: float = 0.0  # >0 adds SameLabelLoss (contrastive variant)
+    l2_weight: float = 0.0          # manual L2 penalty on params (regression)
+    criterion: str = "crossentropy"  # for classification kind
+    smooth_value: float = 0.1
+
+
+def _l2_penalty(params) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(jnp.sum(p**2) for p in leaves)
+
+
+def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
+                  gallery=None, gallery_self_sim=None, train=True):
+    if loss_cfg.kind == "clip":
+        loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
+        if loss_cfg.same_label_weight > 0.0 and labels is not None:
+            loss = loss + loss_cfg.same_label_weight * same_label_loss(Z, labels)
+    elif loss_cfg.kind == "mse":
+        loss = mse_loss(Y, Z)
+    elif loss_cfg.kind == "classification":
+        assert gallery is not None and labels is not None
+        loss = clip_like_classification_loss(
+            Z, labels, gallery, temp,
+            criterion=loss_cfg.criterion, train=train,
+            smooth_value=loss_cfg.smooth_value,
+            gallery_self_similarity=gallery_self_sim,
+        )
+    else:
+        raise ValueError(loss_cfg.kind)
+    if loss_cfg.l2_weight > 0.0:
+        loss = loss + loss_cfg.l2_weight * _l2_penalty(params["model"])
+    return loss
+
+
+def make_train_step(model, optimizer, loss_cfg: LossConfig,
+                    collate_cfg: CollateConfig,
+                    gallery=None, gallery_self_sim=None, donate: bool = True):
+    """Build the jitted train step.
+
+    Signature: ``step(state, X, Y, subject_idxs, labels=None) →
+    (state, metrics)`` with metrics {loss, top1, top10, temp, lr-proxy step}.
+    """
+
+    def train_step(state: TrainState, X, Y, subject_idxs, labels=None):
+        key, spatial_key, dropout_key = jax.random.split(state.key, 3)
+        if collate_cfg.enabled:
+            X = collate_preprocess(
+                X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
+                collate_cfg.clamp,
+            )
+
+        def loss_fn(params):
+            variables = {"params": params["model"]}
+            rngs = {"spatial": spatial_key, "dropout": dropout_key}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                Z, upd = model.apply(variables, X, subject_idxs, train=True,
+                                     rngs=rngs, mutable=["batch_stats"])
+                new_batch_stats = upd["batch_stats"]
+            else:
+                Z = model.apply(variables, X, subject_idxs, train=True, rngs=rngs)
+                new_batch_stats = {}
+            loss = _compute_loss(loss_cfg, Z, Y, labels, params["loss"]["temp"],
+                                 params, gallery, gallery_self_sim, train=True)
+            return loss, (Z, new_batch_stats)
+
+        (loss, (Z, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "temp": new_params["loss"]["temp"]}
+        if loss_cfg.kind != "classification":
+            metrics.update(retrieval_accuracy(Z, Y, top_ks=(1, 10)))
+        new_state = TrainState(
+            params=new_params, batch_stats=new_bs, opt_state=new_opt_state,
+            step=state.step + 1, key=key,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
+                   gallery=None, gallery_self_sim=None, top_ks=(1, 10)):
+    """Build the jitted eval step: forward (running BN stats, no dropout) →
+    loss + retrieval metrics.  Returns (metrics, Z)."""
+
+    def eval_step(params, batch_stats, X, Y, subject_idxs, labels=None):
+        if collate_cfg.enabled:
+            X = collate_preprocess(
+                X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
+                collate_cfg.clamp,
+            )
+        variables = {"params": params["model"]}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        Z = model.apply(variables, X, subject_idxs, train=False)
+        loss = _compute_loss(loss_cfg, Z, Y, labels, params["loss"]["temp"],
+                             params, gallery, gallery_self_sim, train=False)
+        metrics = {"loss": loss, "temp": params["loss"]["temp"]}
+        if loss_cfg.kind != "classification":
+            metrics.update(retrieval_accuracy(Z, Y, top_ks=top_ks))
+        return metrics, Z
+
+    return jax.jit(eval_step)

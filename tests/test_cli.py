@@ -1,0 +1,134 @@
+"""End-to-end CLI tests on the synthetic GOD fixture: train → evaluate →
+inference, exercising the same entry points a user runs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from meg_decoding_tpu.core.config import Config, to_dict
+
+from tests.fixtures import make_god_fixture
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _train_cfg(root, save_root, **extra):
+    cfg = make_god_fixture(root, subjects=("sbj01", "sbj02"))
+    cfg.save_root = save_root
+    cfg.training_mode = "split"   # fixture has explicit train/val sessions
+    cfg.use_sampler = True
+    cfg.batch_size = 16
+    cfg.updates = 6
+    cfg.epochs = 2
+    cfg.test_size = 16
+    cfg.lr = 1e-3
+    cfg.lr_scheduler = "none"
+    cfg.reduction = "mean"
+    cfg.init_temperature = 5.1
+    cfg.model = "linear"
+    cfg.F = 16
+    cfg.scp = True
+    cfg.num_subjects = 2
+    cfg.seed = 0
+    for k, v in extra.items():
+        cfg.set_dotted(k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("god_cli"))
+    save_root = os.path.join(root, "out")
+    cfg = _train_cfg(root, save_root)
+    from meg_decoding_tpu.cli.train_god import run
+
+    best = run(cfg)
+    return cfg, save_root, best
+
+
+class TestTrainCLI:
+    def test_train_produces_checkpoints_and_metrics(self, trained):
+        cfg, save_root, best = trained
+        assert os.path.isdir(os.path.join(save_root, "ckpt", "model_last"))
+        runs = os.listdir(os.path.join(save_root, "runs"))
+        assert runs
+        metrics_file = os.path.join(save_root, "runs", runs[0], "metrics.jsonl")
+        rows = [json.loads(l) for l in open(metrics_file)]
+        assert len(rows) == 2
+        assert "train_loss" in rows[0] and "test_top10" in rows[0]
+
+    def test_evaluate_runs_all_metrics(self, trained):
+        cfg, save_root, _ = trained
+        from meg_decoding_tpu.cli.evaluate_god import run as eval_run
+
+        results = eval_run(cfg)
+        for k in ["val_top1", "val_top10", "pairwise_correlation", "pairwise_cosine"]:
+            assert k in results and np.isfinite(results[k])
+        assert os.path.exists(os.path.join(save_root, "eval_results.json"))
+
+    def test_inference_dumps_features(self, trained):
+        cfg, save_root, _ = trained
+        # drive examples/inference.py through its main() with CLI-style args
+        cfg_dir = os.path.join(save_root, "cfg")
+        os.makedirs(cfg_dir, exist_ok=True)
+        with open(os.path.join(cfg_dir, "god_test.yaml"), "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "examples", "inference.py"),
+             "--config-path", cfg_dir, "--config-name", "god_test"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        out_dir = os.path.join(save_root, "inference")
+        Z = np.load(os.path.join(out_dir, "Z_test.npy"))
+        assert Z.shape[1] == 16 and np.all(np.isfinite(Z))
+
+    def test_train_py_cli_parses_and_runs(self, tmp_path):
+        """The real `python train.py --config-path ... key=val` surface."""
+        root = str(tmp_path / "data")
+        save_root = str(tmp_path / "out")
+        cfg = _train_cfg(root, save_root)
+        cfg.epochs = 1
+        cfg.updates = 3
+        cfg_dir = str(tmp_path / "cfg")
+        os.makedirs(cfg_dir)
+        with open(os.path.join(cfg_dir, "god_smoke.yaml"), "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--config-path", cfg_dir, "--config-name", "god_smoke",
+             "epochs=1", "updates=2"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "best:" in proc.stdout
+
+
+class TestVariants:
+    def test_regression_and_contrastive_variants(self, tmp_path):
+        root = str(tmp_path / "d")
+        from meg_decoding_tpu.cli.train_god import run
+
+        # mse (regression) variant
+        cfg = _train_cfg(root, str(tmp_path / "o1"))
+        cfg.epochs = 1
+        cfg.updates = 2
+        cfg.set_dotted("loss.kind", "mse")
+        best = run(cfg)
+        # same-label contrastive variant
+        cfg2 = _train_cfg(root, str(tmp_path / "o2"))
+        cfg2.epochs = 1
+        cfg2.updates = 2
+        cfg2.set_dotted("loss.kind", "clip")
+        cfg2.set_dotted("loss.same_label_weight", 0.5)
+        best2 = run(cfg2)
+        assert np.isfinite(best2.get("train_loss", np.nan))

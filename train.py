@@ -1,0 +1,28 @@
+"""Training entry point (reference-compatible name and Hydra-style config).
+
+Reference: ``train.py`` (Gwilliams2022/Brennan2018 contrastive) and the
+``train_wowandb*`` GOD family — one dispatcher here, selected by
+``dataset:`` in the config (``configs/config.yaml`` /
+``configs/config_GOD.yaml``, drop-in compatible keys).
+
+    python train.py --config-name config_GOD dataset=GOD epochs=10
+"""
+
+from meg_decoding_tpu.cli.main import parse_cli
+
+
+def run(cfg):
+    if cfg.dataset == "GOD":
+        from meg_decoding_tpu.cli.train_god import run as run_god
+
+        return run_god(cfg)
+    if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
+        from meg_decoding_tpu.cli.train_speech import run as run_speech
+
+        return run_speech(cfg)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+if __name__ == "__main__":
+    best = run(parse_cli(default_config_name="config"))
+    print("best:", best)
