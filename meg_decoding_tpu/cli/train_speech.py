@@ -1,0 +1,227 @@
+"""Speech-decoding trainer: Gwilliams2022 (MEG) and Brennan2018 (EEG).
+
+Reference: ``train.py`` — builds the dataset per ``split_mode``
+(sentence/shallow/deep, :57-90), per-batch Adam updates, single-batch test
+pass, model_last each epoch.  The north-star metric is top-10 segment
+retrieval on Gwilliams2022 (BASELINE.md).
+
+Data sources, in order of preference:
+1. reference-format preprocessed cache (``data/Gwilliams2022/preprocessed/<n>/``
+   with x_dict/y_dict/onset .npy — interoperable with caches built by the
+   reference; ``cfg.cache_dir`` points at it directly);
+2. raw BIDS via mne_bids when installed (not in this image);
+3. for Brennan: raw .mat EEG + audio .wav → wav2vec embeddings on device.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from meg_decoding_tpu.core.config import Config
+from meg_decoding_tpu.data.brennan import BrennanPacked, build_brennan_dataset
+from meg_decoding_tpu.data.gwilliams import (
+    GwilliamsPacked,
+    build_gwilliams_dataset,
+    gather_speech_batch,
+    load_gwilliams_cache,
+)
+from meg_decoding_tpu.data.layout import ch_locations_2d
+from meg_decoding_tpu.data.sampling import random_split
+from meg_decoding_tpu.models.factory import get_model
+from meg_decoding_tpu.train.checkpoint import CheckpointManager
+from meg_decoding_tpu.train.loop import fit
+from meg_decoding_tpu.train.schedules import make_optimizer
+from meg_decoding_tpu.train.state import create_train_state
+from meg_decoding_tpu.train.steps import (
+    CollateConfig,
+    LossConfig,
+    make_eval_step,
+    make_train_step,
+)
+from meg_decoding_tpu.utils.logging import RunLogger
+
+__all__ = ["run"]
+
+
+class _SpeechLoader:
+    """Adapter giving GwilliamsPacked/BrennanPacked the ``gather(idx)``
+    interface the epoch driver expects, with deterministic per-call PRNG for
+    the random subject/session pairing (reference gwilliams2022.py:134,
+    brennan2018.py:148)."""
+
+    def __init__(self, ds, seed: int = 0):
+        self.ds = ds
+        self.base_key = jax.random.PRNGKey(seed)
+        self._n_calls = 0
+        self.num_subjects = ds.num_subjects
+
+    def __len__(self):
+        return len(self.ds)
+
+    def gather(self, idx):
+        key = jax.random.fold_in(self.base_key, self._n_calls)
+        self._n_calls += 1
+        if isinstance(self.ds, GwilliamsPacked):
+            X, Y, subs, seg_ids = gather_speech_batch(self.ds, idx, key)
+            return X, Y, subs
+        # Brennan: random subject per chunk
+        subs = jax.random.randint(key, (len(idx),), 0, self.ds.num_subjects)
+        X, Y, subs, _ = self.ds.gather(idx, subject_idxs=subs)
+        return X, Y, subs
+
+
+def _load_gwilliams(cfg, seed):
+    cache_dir = cfg.get("cache_dir")
+    if cache_dir is None:
+        base = os.path.join(cfg.get("root_dir", "."), "data", "Gwilliams2022",
+                            "preprocessed")
+        cands = sorted(os.listdir(base)) if os.path.isdir(base) else []
+        for c in cands:
+            if os.path.exists(os.path.join(base, c, "x_dict.npy")):
+                cache_dir = os.path.join(base, c)
+                break
+    if cache_dir is None:
+        raise FileNotFoundError(
+            "No Gwilliams preprocessed cache found. Build one with "
+            "scripts in meg_decoding_tpu/data/gwilliams.py (preprocess_recordings) "
+            "or point cfg.cache_dir at a reference-format cache."
+        )
+    x, y, meg_on, sp_on, sent = load_gwilliams_cache(cache_dir)
+    split_mode = cfg.get("split_mode", "shallow")
+    packed = build_gwilliams_dataset(cfg, x, y, meg_on, sp_on, sent,
+                                     split_mode=split_mode, seed=seed)
+    if split_mode in ("sentence", "deep"):
+        train_ds, test_ds = packed
+        return _SpeechLoader(train_ds, seed), _SpeechLoader(test_ds, seed + 1)
+    # shallow: random_split over segments of one packed set (train.py:73-77)
+    n = len(packed)
+    tr, te = random_split(jax.random.PRNGKey(seed), n, float(cfg.split_ratio))
+    # index remapping shares the packed arrays; wrap with index translation
+    return (_SubsetLoader(packed, tr, seed), _SubsetLoader(packed, te, seed + 1))
+
+
+class _SubsetLoader(_SpeechLoader):
+    def __init__(self, ds, indices, seed=0):
+        super().__init__(ds, seed)
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def gather(self, idx):
+        return super().gather(self.indices[np.asarray(idx)])
+
+
+def _load_brennan(cfg, seed):
+    pre = cfg.preprocs
+    root = cfg.get("root_dir", ".")
+    y_path = cfg.get("y_embeds_path",
+                     f"{root}/data/Brennan2018/Y_embeds/embd_wav2vec.npy")
+    if os.path.exists(y_path):
+        Y_stream = np.load(y_path)
+    else:
+        Y_stream = _embed_brennan_audio(cfg, y_path)
+    packed = build_brennan_dataset(cfg, Y_stream)
+    n = len(packed)
+    tr, te = random_split(jax.random.PRNGKey(seed), n, float(cfg.split_ratio))
+    return (_SpeechLoader(packed.subset(tr), seed),
+            _SpeechLoader(packed.subset(te), seed + 1))
+
+
+def _embed_brennan_audio(cfg, y_path):
+    """Audio → wav2vec last-4 (or conv features) → resample to the brain rate
+    (brennan2018.py:154-212), cached to .npy."""
+    import glob
+
+    from scipy.io import wavfile
+
+    from meg_decoding_tpu.features.wav2vec import (
+        embed_features,
+        embed_last4_avg,
+        load_wav2vec,
+    )
+    from meg_decoding_tpu.ops.resample import resample_fft
+
+    pre = cfg.preprocs
+    root = cfg.get("root_dir", ".")
+    paths = sorted(glob.glob(f"{root}/data/Brennan2018/audio/*.wav"))
+    assert paths, f"no audio under {root}/data/Brennan2018/audio"
+    wavs, rates = [], []
+    for p in paths:
+        sr, w = wavfile.read(p)
+        if w.dtype.kind == "i":
+            w = w / np.iinfo(w.dtype).max
+        wavs.append(np.asarray(w, dtype=np.float32).reshape(-1))
+        rates.append(sr)
+    assert len(set(rates)) == 1
+    wav = np.concatenate(wavs)
+    target = int(pre.get("audio_resample_rate", 16000))
+    if rates[0] != target:
+        wav = np.asarray(resample_fft(jnp.asarray(wav)[None], down=rates[0] / target))[0]
+    model, params = load_wav2vec(cfg.get("wav2vec_model",
+                                         "facebook/wav2vec2-large-xlsr-53"),
+                                 backend=cfg.get("wav2vec_backend", "auto"))
+    if pre.get("last4layers", True):
+        emb = embed_last4_avg(model, params, wav)
+    else:
+        emb = embed_features(model, params, wav)
+    # resample embeddings to the brain rate (~50 → 120 Hz; the reference
+    # hard-codes up=2.4, brennan2018.py:197-201 — we compute it)
+    len_audio_s = len(wav) / target
+    emb_rate = emb.shape[-1] / len_audio_s
+    emb = np.asarray(resample_fft(jnp.asarray(emb),
+                                  up=float(pre.brain_resample_rate) / emb_rate))
+    os.makedirs(os.path.dirname(y_path), exist_ok=True)
+    np.save(y_path, emb)
+    return emb
+
+
+def run(cfg: Config) -> dict:
+    seed = int(cfg.get("seed", 0))
+    save_root = cfg.get("save_root", "runs_out")
+    os.makedirs(save_root, exist_ok=True)
+
+    if cfg.dataset == "Gwilliams2022":
+        train_set, test_set = _load_gwilliams(cfg, seed)
+    else:
+        train_set, test_set = _load_brennan(cfg, seed)
+    cfg.num_subjects = train_set.num_subjects
+
+    num_channels = int(train_set.gather(np.arange(1))[0].shape[1])
+    cfg.num_channels = num_channels
+    loc = ch_locations_2d(cfg)
+    assert loc.shape[0] == num_channels, (loc.shape, num_channels)
+    model = get_model(cfg, loc=loc, num_channels=num_channels)
+
+    rate = float(cfg.preprocs.brain_resample_rate)
+    collate_cfg = CollateConfig(
+        baseline_len_samp=int(rate * float(cfg.preprocs.get("baseline_len_sec", 0))),
+        clamp_lim=float(cfg.preprocs.get("clamp_lim", 20)),
+        clamp=bool(cfg.preprocs.get("clamp", True)),
+        # Brennan pre-scales/corrects at build time (brennan2018.py:99-107);
+        # Gwilliams collates per batch (gwilliams2022.py:641-662)
+        enabled=cfg.dataset == "Gwilliams2022",
+    )
+    loss_cfg = LossConfig(kind=cfg.select("loss.kind", "clip"),
+                          reduction=cfg.get("reduction", "mean"))
+
+    updates = int(cfg.get("updates", 1200))
+    optimizer = make_optimizer(cfg, updates)
+    example = train_set.gather(np.arange(min(len(train_set), int(cfg.batch_size))))
+    state = create_train_state(model, optimizer, example, jax.random.PRNGKey(seed),
+                               init_temperature=float(cfg.get("init_temperature", 5.1)))
+    train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg)
+    eval_step = make_eval_step(model, loss_cfg, collate_cfg)
+
+    logger = RunLogger(save_root, run_name=cfg.get("run_name"),
+                       use_wandb=bool(cfg.get("use_wandb", False)),
+                       wandb_cfg=cfg.get("wandb"))
+    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,
+                      logger, ckpt, seed=seed)
+    return best

@@ -1,0 +1,261 @@
+"""Gwilliams2022 (MEG ↔ naturalistic speech) dataset: packed, device-resident.
+
+Reference: ``meg_decoding/dataclass/gwilliams2022.py`` — BIDS MEG →
+20-process preprocessing fan-out (filter 1-60 Hz, resample 1000→120 Hz,
+word-onset extraction; :193-326) cached as ``x_dict.npy`` {subjectNN_sessS_taskT
+→ (208, T)}, ``y_dict.npy`` {taskN → (1024, T)}, onset/sentence tables
+(:64-109) → ``batchfy`` segments Y by word onsets and keeps X as full
+recordings + onset indices (:391-638); ``__getitem__`` slices a 3 s window of
+a **random subject-session** holding the segment's task (:130-143).
+
+TPU-native redesign:
+* The reference materializes every Y segment (~12 GB host RAM for ~8k
+  overlapping 1024×360 windows).  Here **both X and Y stay continuous** in
+  HBM ((sessions, 4, C, T) padded recordings ≈ 3-6 GB, (4, F, T) streams
+  ≈ 0.7 GB) and a batch is one jitted gather: random session pick, dynamic
+  window slice of X and Y, fused with the collate kernel — replacing
+  DataLoader workers entirely.
+* The preprocessing fan-out is sharded over the mesh by recordings
+  (SURVEY §5.7): filtering/resampling is one vmapped XLA program.
+
+The cache directory format stays compatible with the reference's
+(``x_dict.npy`` / ``y_dict.npy`` / ``meg_onsets.npy`` / ``speech_onsets.npy``
+/ ``sentence_idxs.npy`` — gwilliams2022.py:64-109), so caches built by either
+implementation interoperate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from meg_decoding_tpu.ops.fir import bandpass_filter
+from meg_decoding_tpu.ops.resample import resample_fft
+
+__all__ = ["GwilliamsPacked", "load_gwilliams_cache", "build_gwilliams_dataset",
+           "preprocess_recordings", "sentence_split", "deep_split"]
+
+NUM_TASKS = 4
+
+
+# ---------------------------------------------------------------------------
+# cache I/O (reference-compatible layout)
+# ---------------------------------------------------------------------------
+
+def load_gwilliams_cache(cache_dir: str):
+    """Load the reference-format preprocessed cache dicts."""
+    x = np.load(os.path.join(cache_dir, "x_dict.npy"), allow_pickle=True).item()
+    y = np.load(os.path.join(cache_dir, "y_dict.npy"), allow_pickle=True).item()
+    meg_onsets = np.load(os.path.join(cache_dir, "meg_onsets.npy"),
+                         allow_pickle=True).item()
+    speech_onsets = np.load(os.path.join(cache_dir, "speech_onsets.npy"),
+                            allow_pickle=True).item()
+    sentence_idxs = np.load(os.path.join(cache_dir, "sentence_idxs.npy"),
+                            allow_pickle=True).item()
+    return x, y, meg_onsets, speech_onsets, sentence_idxs
+
+
+def preprocess_recordings(raw: np.ndarray, fs: float, l_freq: float,
+                          h_freq: float, new_rate: float) -> np.ndarray:
+    """Bandpass + resample a stack of recordings (..., C, T) on device — the
+    XLA replacement for the reference's 20-process MNE pool
+    (gwilliams2022.py:254-261, 299-306).  Shard the leading axis over the
+    mesh for multi-chip preprocessing."""
+    x = jnp.asarray(raw, dtype=jnp.float32)
+    x = bandpass_filter(x, fs, l_freq, h_freq)
+    return np.asarray(resample_fft(x, down=fs / new_rate))
+
+
+# ---------------------------------------------------------------------------
+# splits (host-side index logic; reference gwilliams2022.py:391-638)
+# ---------------------------------------------------------------------------
+
+def sentence_split(sentence_idxs: dict, split_ratio: float, seed: int = 0):
+    """Sentence-granularity split: shuffle sentence ids per task, 80/20, map
+    back to word indices (Gwilliams2022SentenceSplit, :425-451)."""
+    rng = np.random.RandomState(seed)
+    train_word_idxs, test_word_idxs = {}, {}
+    for task, sidxs in sentence_idxs.items():
+        uniq = np.unique(sidxs)
+        rng.shuffle(uniq)
+        split = int(len(uniq) * split_ratio)
+        train_s = set(uniq[:split].tolist())
+        words = np.arange(len(sidxs))
+        is_train = np.asarray([s in train_s for s in sidxs])
+        train_word_idxs[task] = words[is_train]
+        test_word_idxs[task] = words[~is_train]
+    return train_word_idxs, test_word_idxs
+
+
+def deep_split(speech_onsets: dict, split_ratio: float):
+    """Temporal head/tail split per task (Gwilliams2022DeepSplit, :591-629)."""
+    train_word_idxs, test_word_idxs = {}, {}
+    for task, onsets in speech_onsets.items():
+        n = len(onsets)
+        cut = int(n * split_ratio)
+        train_word_idxs[task] = np.arange(cut)
+        test_word_idxs[task] = np.arange(cut, n)
+    return train_word_idxs, test_word_idxs
+
+
+# ---------------------------------------------------------------------------
+# packed dataset
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GwilliamsPacked:
+    """Device-resident packed Gwilliams dataset (one split).
+
+    recordings: (n_sessions, 4, C, T_max) padded MEG at the brain rate,
+      already shifted 150 ms (X side).
+    y_stream:   (4, F, Ty_max) padded embedding streams (end-cropped).
+    meg_onsets: (n_sessions, 4, W_max) int sample onsets (this split's words).
+    speech_onsets: (4, W_max) int sample onsets into y_stream.
+    n_words:    (4,) valid word counts per task for this split.
+    session_subject: (n_sessions,) subject index of each session.
+    seq_len: segment length in samples (360).
+    """
+
+    recordings: jnp.ndarray
+    y_stream: jnp.ndarray
+    meg_onsets: jnp.ndarray
+    speech_onsets: jnp.ndarray
+    n_words: np.ndarray
+    session_subject: jnp.ndarray
+    seq_len: int
+    num_subjects: int
+
+    def __len__(self):
+        return int(self.n_words.sum())
+
+    @property
+    def task_offsets(self) -> np.ndarray:
+        return np.concatenate([[0], np.cumsum(self.n_words)[:-1]])
+
+    def segment_table(self):
+        """(N, 2) rows (task, i_in_task) for global segment ids."""
+        rows = [np.stack([np.full(n, t), np.arange(n)], 1)
+                for t, n in enumerate(self.n_words)]
+        return np.concatenate(rows, axis=0)
+
+
+def _slice_window(stream, onset, length):
+    return jax.lax.dynamic_slice_in_dim(stream, onset, length, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("seq_len",))
+def _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
+                  session_subject, task_ids, i_in_task, sess_ids, seq_len):
+    """One fused gather of (X, Y, subject) windows for a batch."""
+
+    def one(task, i, sess):
+        rec = recordings[sess, task]          # (C, T_max)
+        x = _slice_window(rec, meg_onsets[sess, task, i], seq_len)
+        y = _slice_window(y_stream[task], speech_onsets[task, i], seq_len)
+        return x, y, session_subject[sess]
+
+    return jax.vmap(one)(task_ids, i_in_task, sess_ids)
+
+
+def gather_speech_batch(ds: GwilliamsPacked, segment_ids: np.ndarray, key):
+    """Batch = segments by global id + a random session each (reproducing
+    ``__getitem__``'s random subject-session pairing, :130-143)."""
+    seg = ds.segment_table()[np.asarray(segment_ids)]
+    task_ids = jnp.asarray(seg[:, 0])
+    i_in_task = jnp.asarray(seg[:, 1])
+    n_sessions = ds.recordings.shape[0]
+    sess_ids = jax.random.randint(key, (len(seg),), 0, n_sessions)
+    X, Y, subs = _gather_batch(
+        ds.recordings, ds.y_stream, ds.meg_onsets, ds.speech_onsets,
+        ds.session_subject, task_ids, i_in_task, sess_ids, ds.seq_len,
+    )
+    return X, Y, subs, jnp.asarray(segment_ids)
+
+
+def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,
+                            speech_onsets: dict, sentence_idxs: dict,
+                            split_mode: str = "shallow", seed: int = 0):
+    """Pack the cache dicts into device arrays; returns (train, test) for
+    sentence/deep splits or a single packed dataset for shallow.
+
+    Sessions with missing tasks are dropped (gwilliams2022.py:183-191);
+    recordings are zero-padded to the longest (ragged → static shapes,
+    SURVEY §7 hard-part 6).
+    """
+    pre = cfg.preprocs
+    rate = float(pre.brain_resample_rate)
+    seq_len = int(rate * float(pre.seq_len_sec))
+    shift = int(rate * float(pre.get("shift_len", 150)) / 1000) \
+        if pre.get("shift_brain", True) else 0
+
+    # --- session bookkeeping ------------------------------------------------
+    keys = sorted(x_dict.keys())
+    sess_names = sorted({"_".join(k.split("_")[:-1]) for k in keys})
+    sess_names = [s for s in sess_names
+                  if sum(1 for k in keys if k.startswith(s + "_")) == NUM_TASKS]
+    subjects = sorted({s.split("_")[0] for s in sess_names})
+    subject_of = {s: subjects.index(s.split("_")[0]) for s in sess_names}
+
+    n_sessions = len(sess_names)
+    tasks = [f"task{t}" for t in range(NUM_TASKS)]
+    C = next(iter(x_dict.values())).shape[0]
+    T_max = max(v.shape[1] for v in x_dict.values()) - shift
+    F = next(iter(y_dict.values())).shape[0]
+    Ty_max = max(v.shape[1] for v in y_dict.values()) - shift
+
+    recordings = np.zeros((n_sessions, NUM_TASKS, C, T_max), dtype=np.float32)
+    for si, sname in enumerate(sess_names):
+        for t, task in enumerate(tasks):
+            v = x_dict[f"{sname}_{task}"][:, shift:]  # X shifted forward
+            recordings[si, t, :, : v.shape[1]] = v
+    y_stream = np.zeros((NUM_TASKS, F, Ty_max), dtype=np.float32)
+    for t, task in enumerate(tasks):
+        v = y_dict[task]
+        v = v[:, : v.shape[1] - shift] if shift else v  # Y end-cropped
+        y_stream[t, :, : v.shape[1]] = v
+
+    def word_onsets_samples(d):  # seconds → sample indices (·rate, round)
+        return {k: np.round(np.asarray(v) * rate).astype(int) for k, v in d.items()}
+
+    meg_on = word_onsets_samples(meg_onsets)
+    sp_on = word_onsets_samples(speech_onsets)
+
+    # --- split word indices -------------------------------------------------
+    if split_mode == "sentence":
+        tr_idx, te_idx = sentence_split(sentence_idxs, float(cfg.split_ratio), seed)
+        splits = [tr_idx, te_idx]
+    elif split_mode == "deep":
+        tr_idx, te_idx = deep_split(speech_onsets, float(cfg.split_ratio))
+        splits = [tr_idx, te_idx]
+    else:  # shallow: no split here (random_split over segments happens later)
+        splits = [{t: np.arange(len(sp_on[t])) for t in tasks}]
+
+    out = []
+    for word_idxs in splits:
+        n_words = np.asarray([len(word_idxs[t]) for t in tasks])
+        W_max = max(int(n_words.max()), 1)
+        mo = np.zeros((n_sessions, NUM_TASKS, W_max), dtype=np.int32)
+        so = np.zeros((NUM_TASKS, W_max), dtype=np.int32)
+        for t, task in enumerate(tasks):
+            widx = word_idxs[task]
+            so[t, : len(widx)] = sp_on[task][widx]
+            for si, sname in enumerate(sess_names):
+                ons = meg_on[f"{sname}_{task}"][widx]
+                mo[si, t, : len(widx)] = ons
+        out.append(GwilliamsPacked(
+            recordings=jnp.asarray(recordings),
+            y_stream=jnp.asarray(y_stream),
+            meg_onsets=jnp.asarray(mo),
+            speech_onsets=jnp.asarray(so),
+            n_words=n_words,
+            session_subject=jnp.asarray([subject_of[s] for s in sess_names]),
+            seq_len=seq_len,
+            num_subjects=len(subjects),
+        ))
+    return tuple(out) if len(out) > 1 else out[0]

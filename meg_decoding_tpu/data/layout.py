@@ -80,9 +80,14 @@ def ch_locations_2d(cfg, roi_channels: list[int] | None = None) -> np.ndarray:
 
     if dataset == "Brennan2018":
         # easycap-M10 is a 61-electrode equidistant cap; reference drops
-        # broken channel 29 → 60 channels (layout.py:16-18).
-        loc = synthetic_cap_locations(61)
-        loc = np.delete(loc, 28, axis=0)
+        # broken channel 29 → 60 channels (layout.py:16-18).  A different
+        # ``num_channels`` (e.g. synthetic data) skips the deletion.
+        num = int(cfg.get("num_channels", 60) or 60)
+        if num == 60:
+            loc = synthetic_cap_locations(61)
+            loc = np.delete(loc, 28, axis=0)
+        else:
+            loc = synthetic_cap_locations(num)
         return normalize_locations(loc)
 
     if dataset == "Gwilliams2022":

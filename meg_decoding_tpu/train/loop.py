@@ -51,7 +51,7 @@ def fit(
     sharding — the multi-chip path; identity on a single device.
     """
     epochs = int(cfg.epochs)
-    batch_size = int(cfg.batch_size)
+    batch_size = min(int(cfg.batch_size), len(train_set))
     use_sampler = bool(cfg.get("use_sampler", True))
     updates = int(cfg.get("updates", max(len(train_set) // batch_size, 1)))
     test_size = min(len(test_set), int(cfg.get("test_size", batch_size)))

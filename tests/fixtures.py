@@ -96,3 +96,107 @@ def make_god_fixture(root, num_channels=12, num_roi=8, fs=200.0,
         },
     })
     return cfg
+
+
+def make_gwilliams_cache(cache_dir, n_subjects=2, n_sessions_per=2, C=12,
+                         rate=120, rec_sec=30.0, words_per_task=24, F=16,
+                         seed=0):
+    """Write a reference-format Gwilliams preprocessed cache with synthetic
+    recordings, embedding streams, and word-onset tables."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    T = int(rec_sec * rate)
+    x_dict, meg_onsets, speech_onsets, sentence_idxs, y_dict = {}, {}, {}, {}, {}
+    for t in range(4):
+        task = f"task{t}"
+        onsets = np.sort(rng.uniform(0.5, rec_sec - 4.0, words_per_task))
+        speech_onsets[task] = onsets
+        sentence_idxs[task] = np.repeat(np.arange(words_per_task // 4), 4)[:words_per_task]
+        y_dict[task] = rng.randn(F, T).astype(np.float64)
+    for s in range(n_subjects):
+        for sess in range(n_sessions_per):
+            for t in range(4):
+                key = f"subject{s+1:02d}_sess{sess}_task{t}"
+                # MEG correlated with the task's embedding stream via a
+                # random channel mixer so retrieval is learnable
+                task = f"task{t}"
+                mix = rng.randn(C, F) * 0.5
+                x = mix @ y_dict[task] + 0.1 * rng.randn(C, T)
+                x_dict[key] = x.astype(np.float64)
+                meg_onsets[key] = speech_onsets[task]  # same alignment
+    np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
+    np.save(os.path.join(cache_dir, "y_dict.npy"), y_dict, allow_pickle=True)
+    np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
+    np.save(os.path.join(cache_dir, "speech_onsets.npy"), speech_onsets, allow_pickle=True)
+    np.save(os.path.join(cache_dir, "sentence_idxs.npy"), sentence_idxs, allow_pickle=True)
+    return Config({
+        "dataset": "Gwilliams2022",
+        "cache_dir": cache_dir,
+        "split_ratio": 0.8,
+        "split_mode": "sentence",
+        "num_channels": C,
+        "preprocs": {
+            "brain_resample_rate": rate,
+            "seq_len_sec": 3,
+            "baseline_len_sec": 0.5,
+            "shift_brain": True,
+            "shift_len": 150,
+            "clamp": True,
+            "clamp_lim": 20,
+            "last4layers": False,
+        },
+    })
+
+
+def make_brennan_raw(root, n_subjects=4, C=8, fs=500.0, rec_sec=60.0, F=16,
+                     seed=0):
+    """Write synthetic Brennan-format raw .mat EEG files + a Y embedding
+    stream at the brain rate."""
+    rng = np.random.RandomState(seed)
+    raw_dir = os.path.join(root, "data", "Brennan2018", "raw")
+    os.makedirs(raw_dir, exist_ok=True)
+    T = int(fs * rec_sec)
+    rate = 120.0
+    Ty = int(rate * rec_sec)
+    Y = rng.randn(F, Ty).astype(np.float32)
+    # EEG = channel-mixed, upsampled Y + noise (decodable)
+    from scipy.signal import resample as sp_resample
+
+    Y_at_fs = sp_resample(Y, T, axis=-1)
+    subj_ids = [1, 3, 4, 5, 6, 8][:n_subjects]  # avoid excluded S02/S07
+    for i in subj_ids:
+        mix = rng.randn(C, F) * 0.5
+        eeg = mix @ Y_at_fs + 0.1 * rng.randn(C, T)
+        raw = np.zeros((1, 1), dtype=object)
+        entry = np.zeros((1,), dtype=[("trial", "O"), ("fsample", "O"), ("label", "O")])
+        trial = np.zeros((1, 1), dtype=object)
+        trial[0, 0] = eeg
+        entry[0]["trial"] = trial
+        entry[0]["fsample"] = np.array([[fs]])
+        entry[0]["label"] = np.array([["ch"]])
+        raw[0, 0] = entry.reshape(1, 1)[0, 0]
+        scipy.io.savemat(os.path.join(raw_dir, f"S{i:02d}.mat"),
+                         {"raw": entry.reshape(1, 1)})
+    y_dir = os.path.join(root, "data", "Brennan2018", "Y_embeds")
+    os.makedirs(y_dir, exist_ok=True)
+    np.save(os.path.join(y_dir, "embd_wav2vec.npy"), Y)
+    cfg = Config({
+        "dataset": "Brennan2018",
+        "root_dir": root,
+        "split_ratio": 0.8,
+        "num_channels": C,
+        "preprocs": {
+            "brain_resample_rate": rate,
+            "brain_filter_low": 1.0,
+            "brain_filter_high": 50.0,
+            "seq_len_sec": 3,
+            "baseline_len_sec": 0.5,
+            "shift_brain": True,
+            "shift_len": 150,
+            "subject_wise": True,
+            "clamp": True,
+            "clamp_lim": 20,
+            "last4layers": False,
+        },
+    })
+    return cfg

@@ -1,0 +1,204 @@
+"""Speech-path tests: Gwilliams packed dataset + splits + gather, Brennan
+builder chain, wav2vec embedding shapes, and e2e training on both datasets."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meg_decoding_tpu.core.config import Config
+from meg_decoding_tpu.data.brennan import build_brennan_dataset, load_brennan_eeg
+from meg_decoding_tpu.data.gwilliams import (
+    build_gwilliams_dataset,
+    deep_split,
+    gather_speech_batch,
+    load_gwilliams_cache,
+    sentence_split,
+)
+
+from tests.fixtures import make_brennan_raw, make_gwilliams_cache
+
+
+@pytest.fixture(scope="module")
+def gw(tmp_path_factory):
+    cache = str(tmp_path_factory.mktemp("gwcache"))
+    cfg = make_gwilliams_cache(cache)
+    return cfg, load_gwilliams_cache(cache)
+
+
+class TestGwilliamsPacking:
+    def test_sentence_split_word_partition(self, gw):
+        cfg, (x, y, mo, so, sent) = gw
+        tr, te = sentence_split(sent, 0.8, seed=0)
+        for task in sent:
+            all_words = np.concatenate([tr[task], te[task]])
+            assert sorted(all_words) == list(range(len(sent[task])))
+            # sentences don't straddle the split
+            tr_sents = set(np.asarray(sent[task])[tr[task]])
+            te_sents = set(np.asarray(sent[task])[te[task]])
+            assert tr_sents.isdisjoint(te_sents)
+
+    def test_deep_split_head_tail(self, gw):
+        cfg, (x, y, mo, so, sent) = gw
+        tr, te = deep_split(so, 0.8)
+        for task in so:
+            assert tr[task].max() < te[task].min()
+
+    def test_packed_shapes(self, gw):
+        cfg, (x, y, mo, so, sent) = gw
+        train, test = build_gwilliams_dataset(cfg, x, y, mo, so, sent,
+                                              split_mode="sentence")
+        # 2 subjects × 2 sessions
+        assert train.recordings.shape[0] == 4
+        assert train.recordings.shape[1] == 4  # tasks
+        assert train.num_subjects == 2
+        assert train.seq_len == 360
+        assert len(train) + len(test) == 4 * 24  # all words partitioned
+
+    def test_gather_matches_manual_slice(self, gw):
+        cfg, (x, y, mo, so, sent) = gw
+        ds = build_gwilliams_dataset(cfg, x, y, mo, so, sent, split_mode="shallow")
+        X, Y, subs, ids = gather_speech_batch(ds, np.arange(8), jax.random.PRNGKey(0))
+        assert X.shape == (8, 12, 360) and Y.shape == (8, 16, 360)
+        # oracle: segment 0 is task0 word0; Y window starts at speech onset
+        rate = 120
+        onset = int(np.round(np.asarray(so["task0"])[0] * rate))
+        shift = int(rate * 0.150)
+        expect = y["task0"][:, onset : onset + 360]
+        np.testing.assert_allclose(np.asarray(Y[0]), expect, rtol=1e-5, atol=1e-5)
+        # X window: recording was shifted by 150 ms then sliced at the onset
+        sess = None  # find which session row matches
+        got_x = np.asarray(X[0])
+        keys = sorted(x.keys())
+        matched = False
+        for key in keys:
+            if not key.endswith("task0"):
+                continue
+            rec = x[key][:, shift:]
+            cand = rec[:, onset : onset + 360]
+            if cand.shape == got_x.shape and np.allclose(cand, got_x, rtol=1e-4,
+                                                         atol=1e-5):
+                matched = True
+        assert matched, "gathered X doesn't match any session's window"
+
+    def test_subject_index_consistent_with_session(self, gw):
+        cfg, (x, y, mo, so, sent) = gw
+        ds = build_gwilliams_dataset(cfg, x, y, mo, so, sent, split_mode="shallow")
+        subs = np.asarray(ds.session_subject)
+        assert set(subs) == {0, 1}
+        assert (subs == 0).sum() == 2  # 2 sessions per subject
+
+
+class TestBrennanBuilder:
+    def test_loader_excludes_and_trims(self, tmp_path):
+        cfg = make_brennan_raw(str(tmp_path), n_subjects=3)
+        X, fs = load_brennan_eeg(f"{tmp_path}/data/Brennan2018/raw",
+                                 num_channels=8, expected_fs=500.0)
+        assert X.shape[0] == 3 and X.shape[1] == 8
+        assert fs == 500.0
+
+    def test_build_chain_shapes(self, tmp_path):
+        cfg = make_brennan_raw(str(tmp_path), n_subjects=3)
+        Y = np.load(f"{tmp_path}/data/Brennan2018/Y_embeds/embd_wav2vec.npy")
+        X, fs = load_brennan_eeg(f"{tmp_path}/data/Brennan2018/raw",
+                                 num_channels=8, expected_fs=500.0)
+        ds = build_brennan_dataset(cfg, Y, X_raw=X, fs=fs)
+        # 60 s at 120 Hz minus 150 ms shift → 19 chunks of 360
+        assert ds.X.shape[1:] == (3, 8, 360)
+        assert ds.Y.shape[1:] == (16, 360)
+        assert ds.X.shape[0] == ds.Y.shape[0] == 19
+        # scaled data is clamped
+        assert float(jnp.max(jnp.abs(ds.X))) <= 20.0
+        # baseline: first 0.5 s of each chunk has ~zero mean per channel
+        base = np.asarray(ds.X[..., :60].mean(-1))
+        np.testing.assert_allclose(base, 0.0, atol=1e-4)
+
+    def test_gather_random_subject(self, tmp_path):
+        cfg = make_brennan_raw(str(tmp_path), n_subjects=3, seed=1)
+        Y = np.load(f"{tmp_path}/data/Brennan2018/Y_embeds/embd_wav2vec.npy")
+        X, fs = load_brennan_eeg(f"{tmp_path}/data/Brennan2018/raw",
+                                 num_channels=8, expected_fs=500.0)
+        ds = build_brennan_dataset(cfg, Y, X_raw=X, fs=fs)
+        Xb, Yb, subs, ids = ds.gather(np.array([0, 5, 7]),
+                                      subject_idxs=np.array([0, 2, 1]))
+        np.testing.assert_allclose(np.asarray(Xb[1]), np.asarray(ds.X[5, 2]))
+        np.testing.assert_array_equal(np.asarray(ids), [0, 5, 7])
+
+
+class TestWav2Vec:
+    def test_random_backend_shapes_and_rate(self):
+        from meg_decoding_tpu.features.wav2vec import (
+            embed_last4_avg,
+            load_wav2vec,
+        )
+
+        model, params = load_wav2vec(backend="random")
+        wav = np.random.RandomState(0).randn(16000 * 2).astype(np.float32) * 0.1
+        emb = embed_last4_avg(model, params, wav, chunk_sec=1.0, overlap_sec=0.2)
+        assert emb.shape[0] == 1024
+        rate = emb.shape[1] / 2.0
+        assert 48 < rate < 51  # ~49.97 Hz
+
+    def test_chunking_no_boundary_artifact(self):
+        from meg_decoding_tpu.features.wav2vec import (
+            embed_last4_avg,
+            load_wav2vec,
+        )
+
+        model, params = load_wav2vec(backend="random")
+        wav = np.random.RandomState(1).randn(16000 * 3).astype(np.float32) * 0.1
+        whole = embed_last4_avg(model, params, wav, chunk_sec=10.0)
+        chunked = embed_last4_avg(model, params, wav, chunk_sec=2.0,
+                                  overlap_sec=0.5)
+        assert whole.shape == chunked.shape
+        # interiors agree closely (transformer context effects are bounded
+        # by the overlap margin)
+        T = whole.shape[1]
+        corr = np.corrcoef(whole[:, T // 4 : -T // 4].ravel(),
+                           chunked[:, T // 4 : -T // 4].ravel())[0, 1]
+        assert corr > 0.98
+
+
+class TestSpeechE2E:
+    def _speech_cfg(self, cfg, save_root):
+        cfg.save_root = save_root
+        cfg.model = "brain_encoder"
+        cfg.D1 = 16
+        cfg.D2 = 24
+        cfg.F = 16
+        cfg.K = 4
+        cfg.d_drop = 0.1
+        cfg.seq2seq = False
+        cfg.batch_size = 16
+        cfg.updates = 6
+        cfg.epochs = 2
+        cfg.use_sampler = True
+        cfg.test_size = 16
+        cfg.lr = 1e-3
+        cfg.lr_scheduler = "none"
+        cfg.reduction = "mean"
+        cfg.init_temperature = 5.1
+        cfg.seed = 0
+        cfg.set_dotted("loss.kind", "clip")
+        return cfg
+
+    def test_gwilliams_e2e(self, gw, tmp_path):
+        cfg, _ = gw
+        cfg = self._speech_cfg(cfg, str(tmp_path / "out"))
+        cfg.seq2seq = True  # Gwilliams pairs (F, 360) segments with (F, 360) Z
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        assert best.get("test_top10", 0) > 0
+
+    def test_brennan_e2e(self, tmp_path):
+        cfg = make_brennan_raw(str(tmp_path), n_subjects=3)
+        cfg = self._speech_cfg(cfg, str(tmp_path / "out"))
+        cfg.seq2seq = True
+        cfg.use_sampler = False  # reference Brennan uses shuffle batching
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
