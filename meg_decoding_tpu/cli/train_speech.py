@@ -208,7 +208,8 @@ def run(cfg: Config) -> dict:
         enabled=cfg.dataset == "Gwilliams2022",
     )
     loss_cfg = LossConfig(kind=cfg.select("loss.kind", "clip"),
-                          reduction=cfg.get("reduction", "mean"))
+                          reduction=cfg.get("reduction", "mean"),
+                          fused=bool(cfg.select("loss.fused", False)))
 
     updates = int(cfg.get("updates", 1200))
     optimizer = make_optimizer(cfg, updates)

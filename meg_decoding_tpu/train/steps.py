@@ -48,6 +48,7 @@ class CollateConfig:
 class LossConfig:
     kind: str = "clip"              # clip | mse | classification
     reduction: str = "mean"
+    fused: bool = False             # use the Pallas fused CLIP kernel
     same_label_weight: float = 0.0  # >0 adds SameLabelLoss (contrastive variant)
     l2_weight: float = 0.0          # manual L2 penalty on params (regression)
     criterion: str = "crossentropy"  # for classification kind
@@ -62,7 +63,12 @@ def _l2_penalty(params) -> jnp.ndarray:
 def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
                   gallery=None, gallery_self_sim=None, train=True):
     if loss_cfg.kind == "clip":
-        loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
+        if loss_cfg.fused:
+            from meg_decoding_tpu.ops.pallas.clip_loss import fused_clip_loss
+
+            loss = fused_clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
+        else:
+            loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
         if loss_cfg.same_label_weight > 0.0 and labels is not None:
             loss = loss + loss_cfg.same_label_weight * same_label_loss(Z, labels)
     elif loss_cfg.kind == "mse":
