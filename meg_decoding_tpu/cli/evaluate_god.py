@@ -112,6 +112,21 @@ def run(cfg: Config) -> dict:
         pid = pairwise_identification(jnp.asarray(Z), jnp.asarray(Y), metric=metric)
         results[f"pairwise_{metric}"] = float(jnp.mean(pid))
 
+    # optional error analysis + ImageNet distractors (eval_wowandb_cv*.py)
+    if cfg.get("error_analysis", False):
+        from meg_decoding_tpu.cli.eval_analysis import run_error_analysis
+
+        distractors = None
+        dpath = cfg.get("imagenet_val_features_path")
+        if dpath:
+            distractors = np.load(dpath)
+        analysis = run_error_analysis(
+            Z, Y, labels, save_root, distractors=distractors,
+            norm_mean=val.mean_Y, norm_std=val.std_Y,
+        )
+        results["similarity_acc"] = analysis["similarity_acc"]
+        results["mean_acc_scene"] = analysis["mean_acc_scene"]
+
     out_path = os.path.join(save_root, "eval_results.json")
     os.makedirs(save_root, exist_ok=True)
     with open(out_path, "w") as f:

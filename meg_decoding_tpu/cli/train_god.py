@@ -27,6 +27,7 @@ from meg_decoding_tpu.data.roi import roi
 from meg_decoding_tpu.data.sampling import god_cv_split
 from meg_decoding_tpu.models.factory import get_model
 from meg_decoding_tpu.objectives.retrieval import cosine_similarity_matrix
+from meg_decoding_tpu.parallel.dp import maybe_distributed_init, setup_data_parallel
 from meg_decoding_tpu.train.checkpoint import CheckpointManager
 from meg_decoding_tpu.train.loop import fit
 from meg_decoding_tpu.train.schedules import make_optimizer
@@ -56,6 +57,7 @@ def _loss_config(cfg) -> LossConfig:
 
 
 def run(cfg: Config) -> dict:
+    maybe_distributed_init(cfg)
     save_root = cfg.get("save_root", "runs_out")
     os.makedirs(save_root, exist_ok=True)
 
@@ -106,6 +108,8 @@ def run(cfg: Config) -> dict:
         model, optimizer, example, jax.random.PRNGKey(int(cfg.get("seed", 0))),
         init_temperature=float(cfg.get("init_temperature", 5.1)),
     )
+    mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
+    state = replicate_fn(state)
 
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  gallery=gallery, gallery_self_sim=gallery_self_sim)
@@ -119,5 +123,6 @@ def run(cfg: Config) -> dict:
 
     state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,
                       logger, ckpt, seed=int(cfg.get("seed", 0)),
-                      with_labels=with_labels)
+                      shard_fn=shard_fn, with_labels=with_labels,
+                      batch_multiple=(mesh.shape["data"] if mesh else 1))
     return best

@@ -33,6 +33,7 @@ from meg_decoding_tpu.data.gwilliams import (
 from meg_decoding_tpu.data.layout import ch_locations_2d
 from meg_decoding_tpu.data.sampling import random_split
 from meg_decoding_tpu.models.factory import get_model
+from meg_decoding_tpu.parallel.dp import maybe_distributed_init, setup_data_parallel
 from meg_decoding_tpu.train.checkpoint import CheckpointManager
 from meg_decoding_tpu.train.loop import fit
 from meg_decoding_tpu.train.schedules import make_optimizer
@@ -182,6 +183,7 @@ def _embed_brennan_audio(cfg, y_path):
 
 
 def run(cfg: Config) -> dict:
+    maybe_distributed_init(cfg)
     seed = int(cfg.get("seed", 0))
     save_root = cfg.get("save_root", "runs_out")
     os.makedirs(save_root, exist_ok=True)
@@ -216,6 +218,8 @@ def run(cfg: Config) -> dict:
     example = train_set.gather(np.arange(min(len(train_set), int(cfg.batch_size))))
     state = create_train_state(model, optimizer, example, jax.random.PRNGKey(seed),
                                init_temperature=float(cfg.get("init_temperature", 5.1)))
+    mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
+    state = replicate_fn(state)
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg)
 
@@ -224,5 +228,6 @@ def run(cfg: Config) -> dict:
                        wandb_cfg=cfg.get("wandb"))
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
     state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,
-                      logger, ckpt, seed=seed)
+                      logger, ckpt, seed=seed, shard_fn=shard_fn,
+                      batch_multiple=(mesh.shape["data"] if mesh else 1))
     return best

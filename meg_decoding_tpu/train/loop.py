@@ -21,6 +21,7 @@ from meg_decoding_tpu.data.packed import PackedDataset
 from meg_decoding_tpu.data.sampling import sample_with_replacement, shuffle_batches
 from meg_decoding_tpu.train.checkpoint import CheckpointManager
 from meg_decoding_tpu.utils.logging import RunLogger
+from meg_decoding_tpu.utils.profiling import StepTimer, profile_trace
 
 __all__ = ["fit"]
 
@@ -44,21 +45,36 @@ def fit(
     seed: int = 0,
     shard_fn: Callable | None = None,
     with_labels: bool = False,
+    batch_multiple: int = 1,
 ):
     """Run the full training loop; returns (final_state, best_metrics).
 
     ``shard_fn`` (optional) device-puts a gathered batch with the mesh's data
     sharding — the multi-chip path; identity on a single device.
+    ``batch_multiple`` rounds batch sizes down to a multiple (the data-axis
+    size when sharding, so every device gets an equal slice).
     """
     epochs = int(cfg.epochs)
-    batch_size = min(int(cfg.batch_size), len(train_set))
+
+    def _round(n):
+        return max((n // batch_multiple) * batch_multiple, batch_multiple)
+
+    batch_size = _round(min(int(cfg.batch_size), len(train_set)))
     use_sampler = bool(cfg.get("use_sampler", True))
     updates = int(cfg.get("updates", max(len(train_set) // batch_size, 1)))
     test_size = min(len(test_set), int(cfg.get("test_size", batch_size)))
+    test_shard_fn = shard_fn
+    if (test_size // batch_multiple) * batch_multiple > 0:
+        test_size = (test_size // batch_multiple) * batch_multiple
+    else:
+        test_shard_fn = None  # tiny test set: run it unsharded
 
     key = jax.random.PRNGKey(seed)
     best_top10 = -1.0
     best_metrics: dict = {}
+    timer = StepTimer()
+    profile_dir = cfg.get("profile_dir") if hasattr(cfg, "get") else None
+    profile_epoch = int(cfg.get("profile_epoch", 1)) if profile_dir else -1
 
     for epoch in range(epochs):
         key, ekey, tkey = jax.random.split(key, 3)
@@ -70,25 +86,28 @@ def fit(
             idx_epoch = shuffle_batches(ekey, len(train_set), batch_size)
 
         train_hist = []
-        for idx in idx_epoch:
-            batch = train_set.gather(idx)
-            if shard_fn is not None:
-                batch = shard_fn(batch)
-            if with_labels and len(batch) == 4:
-                X, Y, subs, labels = batch
-                state, metrics = train_step(state, X, Y, subs, labels)
-            else:
-                X, Y, subs = batch[:3]
-                state, metrics = train_step(state, X, Y, subs)
-            train_hist.append(metrics)
+        with profile_trace(profile_dir if epoch == profile_epoch else None):
+            for idx in idx_epoch:
+                with timer.phase("gather"):
+                    batch = train_set.gather(idx)
+                    if shard_fn is not None:
+                        batch = shard_fn(batch)
+                with timer.phase("step"):
+                    if with_labels and len(batch) == 4:
+                        X, Y, subs, labels = batch
+                        state, metrics = train_step(state, X, Y, subs, labels)
+                    else:
+                        X, Y, subs = batch[:3]
+                        state, metrics = train_step(state, X, Y, subs)
+                train_hist.append(metrics)
 
         # test pass: one batch of size test_size, sampled without replacement
         test_idx = np.asarray(
             jax.random.choice(tkey, len(test_set), (test_size,), replace=False)
         )
         tbatch = test_set.gather(test_idx)
-        if shard_fn is not None:
-            tbatch = shard_fn(tbatch)
+        if test_shard_fn is not None:
+            tbatch = test_shard_fn(tbatch)
         if with_labels and len(tbatch) == 4:
             tX, tY, tsubs, tlabels = tbatch
             test_metrics, _ = eval_step(state.params, state.batch_stats, tX, tY,
@@ -99,7 +118,9 @@ def fit(
 
         tm = _mean_metrics(train_hist)
         em = {f"test_{k}": float(v) for k, v in test_metrics.items()}
-        row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em}
+        row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em,
+               **timer.means_ms()}
+        timer.reset()
         logger.log(row)
         logger.summary(epoch, epochs, row)
 
