@@ -15,8 +15,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["EEGNet", "LinearEncoder"]
+__all__ = ["EEGNet", "EEGNetSub", "LinearEncoder"]
 
 
 class EEGNet(nn.Module):
@@ -72,6 +73,65 @@ class EEGNet(nn.Module):
         h = nn.avg_pool(h, window_shape=(1, self.p2), strides=(1, self.p2))
         h = nn.Dropout(rate=self.dr2, deterministic=not train)(h)
 
+        h = h.reshape(h.shape[0], -1)
+        return nn.Dense(self.out_dim, name="classifier")(h)
+
+
+class EEGNetSub(EEGNet):
+    """EEGNet with a **per-subject** first temporal conv.
+
+    The reference's ``EEGNetSub`` is broken (wrong ``super()`` target,
+    ``models.py:98``) and unreachable (the factory maps ``eegnet_sub`` to
+    plain EEGNet, ``models.py:27-28``).  This is the *intended* semantics,
+    implemented TPU-style: one (S, k1, 1, F1) kernel bank, gathered per
+    sample and applied as a vmapped conv (no Python loop over the batch).
+    Enable via ``model: eegnet_sub`` + ``eegnet_sub_fixed: true``.
+    """
+
+    num_subjects: int = 1
+
+    @nn.compact
+    def __call__(self, X, subject_idxs=None, *, train: bool = False):
+        assert subject_idxs is not None, "EEGNetSub needs subject indices"
+        h = X[..., None]  # (B, C, T, 1)
+        bound = 1.0 / np.sqrt(self.k1)
+
+        def _init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        W = self.param("conv1_sub", _init,
+                       (self.num_subjects, 1, self.k1, 1, self.F1))
+        Wb = W[subject_idxs]  # (B, 1, k1, 1, F1)
+
+        def conv_one(x, w):
+            return jax.lax.conv_general_dilated(
+                x[None], w, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )[0]
+
+        h = jax.vmap(conv_one)(h, Wb)
+        h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         name="bn1")(h)
+        return self._tail(h, train)
+
+    def _tail(self, h, train):
+        h = nn.Conv(self.D * self.F1, kernel_size=(self.num_channels, 1),
+                    padding="VALID", feature_group_count=self.F1, use_bias=False,
+                    name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         name="bn2")(h)
+        h = nn.elu(h)
+        h = nn.avg_pool(h, window_shape=(1, self.p1), strides=(1, self.p1))
+        h = nn.Dropout(rate=self.dr1, deterministic=not train)(h)
+        h = nn.Conv(self.D * self.F1, kernel_size=(1, self.k2), padding="SAME",
+                    feature_group_count=self.D * self.F1, use_bias=False,
+                    name="conv3_dw")(h)
+        h = nn.Conv(self.F2, kernel_size=(1, 1), use_bias=False, name="conv3_pw")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                         name="bn3")(h)
+        h = nn.elu(h)
+        h = nn.avg_pool(h, window_shape=(1, self.p2), strides=(1, self.p2))
+        h = nn.Dropout(rate=self.dr2, deterministic=not train)(h)
         h = h.reshape(h.shape[0], -1)
         return nn.Dense(self.out_dim, name="classifier")(h)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from meg_decoding_tpu.models.brain_encoder import BrainEncoder, BrainEncoderSeq2Static
-from meg_decoding_tpu.models.eegnet import EEGNet, LinearEncoder
+from meg_decoding_tpu.models.eegnet import EEGNet, EEGNetSub, LinearEncoder
 
 __all__ = ["get_model"]
 
@@ -41,6 +41,21 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
     if name in ("eegnet", "eegnet_sub"):
         assert num_channels is not None, "eegnet needs num_channels"
         T = int(round((cfg.window.end - cfg.window.start) * cfg.preprocs.brain_resample_rate))
+        # the reference maps eegnet_sub to plain EEGNet (models.py:27-28,
+        # its EEGNetSub being broken); eegnet_sub_fixed=true enables the
+        # working per-subject variant
+        if name == "eegnet_sub" and cfg.get("eegnet_sub_fixed", False):
+            return EEGNetSub(
+                num_subjects=int(cfg.num_subjects),
+                num_channels=num_channels,
+                T=T,
+                out_dim=_resolve_F(cfg),
+                F1=int(cfg.get("F1", 16)), D=int(cfg.get("D", 2)),
+                F2=int(cfg.get("F2", 32)), k1=int(cfg.get("k1", 30)),
+                k2=int(cfg.get("k2", 4)), p1=int(cfg.get("p1", 2)),
+                p2=int(cfg.get("p2", 4)), dr1=float(cfg.get("dr1", 0.5)),
+                dr2=float(cfg.get("dr2", 0.5)),
+            )
         return EEGNet(
             num_channels=num_channels,
             T=T,

@@ -53,6 +53,7 @@ class LossConfig:
     l2_weight: float = 0.0          # manual L2 penalty on params (regression)
     criterion: str = "crossentropy"  # for classification kind
     smooth_value: float = 0.1
+    grad_norms: bool = False        # log global grad norm (vis_grad parity)
 
 
 def _l2_penalty(params) -> jnp.ndarray:
@@ -126,6 +127,10 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, "temp": new_params["loss"]["temp"]}
+        if loss_cfg.grad_norms:
+            # debug visibility into gradient flow (reference
+            # utils/vis_grad.py:4-6 printed per-module grad sums)
+            metrics["grad_norm"] = optax.global_norm(grads)
         if loss_cfg.kind != "classification":
             metrics.update(retrieval_accuracy(Z, Y, top_ks=(1, 10)))
         new_state = TrainState(

@@ -1,0 +1,181 @@
+"""Build the Gwilliams2022 preprocessed cache from raw BIDS + stimulus audio.
+
+Reference: ``gwilliams2022.py:193-388`` — a 20-process MNE pool filters and
+resamples 27×2×4 subject-session-task recordings (~30 min on 20 cores,
+README.md:26) and a torch wav2vec pass embeds the stimulus audio.
+
+TPU-native split of labor:
+* host: BIDS parsing + annotation extraction (needs ``mne_bids`` — install it
+  where you build the cache; this zero-egress image doesn't ship it);
+* device: the whole filter+resample chain as ONE batched XLA program over
+  all recordings (``ops/fir.py`` + ``ops/resample.py``), sharded over the
+  mesh when more than one chip is attached;
+* device: wav2vec2 embedding of the stimulus audio (``features/wav2vec.py``).
+
+Output: the reference-compatible cache layout
+(``x_dict.npy``/``y_dict.npy``/``meg_onsets.npy``/``speech_onsets.npy``/
+``sentence_idxs.npy`` under ``data/Gwilliams2022/preprocessed/<n>/``), so
+caches built here load in either implementation.
+
+    python scripts/build_gwilliams_cache.py --config-name config root_dir=...
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from meg_decoding_tpu.cli.main import parse_cli
+from meg_decoding_tpu.data.gwilliams import preprocess_recordings
+from meg_decoding_tpu.utils.cache import check_preprocs, is_done, mark_done
+
+NUM_SUBJECTS = 27
+NUM_SESSIONS = 2
+NUM_TASKS = 4
+TASK_PREFIXES = ["lw", "cable", "easy", "the"]  # gwilliams2022.py:72
+
+
+def _extract_annotations(df_annot):
+    """word onsets / sentence ids from BIDS annotations
+    (reference get_speech_onsets, gwilliams2022.py:701-721)."""
+    import pandas as pd
+
+    desc = pd.DataFrame(df_annot.description.apply(eval).to_list())
+    starts = desc["start"].to_numpy().astype(float)
+    # make onsets continuous across the concatenated audio files
+    base = 0.0
+    out = starts.copy()
+    for i in range(len(out)):
+        bump = i < len(out) - 1 and starts[i + 1] < starts[i]
+        if bump:
+            nxt = base + starts[i]
+        out[i] = starts[i] + base
+        if bump:
+            base = nxt
+    kinds = desc["kind"].to_numpy()
+    word_idx = np.where(kinds == "word")[0]
+    meg_onsets = np.array(
+        [o.minute * 60 + o.second + o.microsecond * 1e-6 for o in df_annot.onset]
+    )[word_idx]
+    return word_idx, out[word_idx], desc["sequence_id"].to_numpy()[word_idx], meg_onsets
+
+
+def build_x(cfg, cache_dir):
+    try:
+        import mne
+        import mne_bids
+    except ImportError as e:
+        raise SystemExit(
+            "mne_bids is required to parse the raw BIDS recordings (not in "
+            "this image). Build the cache on a host with mne_bids installed, "
+            "or provide a prepared cache (data/gwilliams.py docstring)."
+        ) from e
+
+    pre = cfg.preprocs
+    root = os.path.join(cfg.root_dir, "data", "Gwilliams2022")
+    x_dict, meg_onsets, speech_onsets, sentence_idxs = {}, {}, {}, {}
+    raws, keys = [], []
+    for subj in range(NUM_SUBJECTS):
+        for sess in range(NUM_SESSIONS):
+            for task in range(NUM_TASKS):
+                bids_path = mne_bids.BIDSPath(
+                    subject=str(subj + 1).zfill(2), session=str(sess),
+                    task=str(task), datatype="meg", root=root,
+                )
+                try:
+                    raw = mne_bids.read_raw_bids(bids_path)
+                except Exception:
+                    continue
+                df = raw.to_data_frame()
+                word_idx, sp_on, sent, meg_on = _extract_annotations(
+                    raw.annotations.to_data_frame()
+                )
+                key = f"subject{subj+1:02d}_sess{sess}_task{task}"
+                task_key = f"task{task}"
+                if task_key in speech_onsets:
+                    assert np.allclose(speech_onsets[task_key], sp_on)
+                speech_onsets[task_key] = sp_on
+                sentence_idxs[task_key] = sent
+                meg_onsets[key] = meg_on
+                meg = np.stack([df[k] for k in df.keys() if "MEG" in k])[:208]
+                raws.append(meg)
+                keys.append(key)
+
+    # one batched device program over all recordings (pad to longest)
+    T_max = max(r.shape[1] for r in raws)
+    batch = np.zeros((len(raws), 208, T_max), np.float32)
+    for i, r in enumerate(raws):
+        batch[i, :, : r.shape[1]] = r
+    out = preprocess_recordings(batch, 1000.0, float(pre.brain_filter_low),
+                                float(pre.brain_filter_high),
+                                float(pre.brain_resample_rate))
+    scale = float(pre.brain_resample_rate) / 1000.0
+    for i, (key, r) in enumerate(zip(keys, raws)):
+        x_dict[key] = out[i, :, : int(r.shape[1] * scale)]
+
+    np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
+    np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
+    np.save(os.path.join(cache_dir, "speech_onsets.npy"), speech_onsets,
+            allow_pickle=True)
+    np.save(os.path.join(cache_dir, "sentence_idxs.npy"), sentence_idxs,
+            allow_pickle=True)
+    mark_done(cache_dir, "x_done")
+
+
+def build_y(cfg, cache_dir):
+    import glob
+
+    from scipy.io import wavfile
+
+    import jax.numpy as jnp
+
+    from meg_decoding_tpu.features.wav2vec import embed_last4_avg, load_wav2vec
+    from meg_decoding_tpu.ops.resample import resample_fft
+
+    pre = cfg.preprocs
+    audio_dir = os.path.join(cfg.root_dir, "data", "Gwilliams2022", "stimuli",
+                             "audio")
+    model, params = load_wav2vec(cfg.get("wav2vec_model"),
+                                 backend=cfg.get("wav2vec_backend", "auto"))
+    target = int(pre.audio_resample_rate)
+    y_dict = {}
+    for t, prefix in enumerate(TASK_PREFIXES):
+        paths = sorted(glob.glob(os.path.join(audio_dir, f"{prefix}*.wav")))
+        assert paths, f"no audio for task {t} under {audio_dir}"
+        chunks = []
+        for p in paths:
+            sr, w = wavfile.read(p)
+            if w.dtype.kind == "i":
+                w = w / np.iinfo(w.dtype).max
+            w = np.asarray(w, np.float32).reshape(-1)
+            if sr != target:
+                w = np.asarray(resample_fft(jnp.asarray(w)[None],
+                                            down=sr / target))[0]
+            emb = embed_last4_avg(model, params, w)
+            rate_w2v = target * emb.shape[-1] / len(w)
+            emb = np.asarray(resample_fft(
+                jnp.asarray(emb), up=float(pre.brain_resample_rate) / rate_w2v))
+            chunks.append(emb)
+        y_dict[f"task{t}"] = np.concatenate(chunks, axis=-1)
+    np.save(os.path.join(cache_dir, "y_dict.npy"), y_dict, allow_pickle=True)
+    mark_done(cache_dir, "y_done")
+
+
+def main():
+    cfg = parse_cli(default_config_name="config")
+    base = os.path.join(cfg.root_dir, "data", "Gwilliams2022", "preprocessed")
+    from meg_decoding_tpu.core.config import to_dict
+
+    cache_dir, x_done, y_done = check_preprocs(to_dict(cfg.preprocs), base)
+    print("cache dir:", cache_dir)
+    if not x_done or cfg.get("rebuild_dataset", False):
+        build_x(cfg, cache_dir)
+    if not y_done or cfg.get("rebuild_dataset", False):
+        build_y(cfg, cache_dir)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

