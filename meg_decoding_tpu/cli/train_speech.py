@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from meg_decoding_tpu.core.config import Config
-from meg_decoding_tpu.data.brennan import BrennanPacked, build_brennan_dataset
+from meg_decoding_tpu.data.brennan import build_brennan_dataset
 from meg_decoding_tpu.data.gwilliams import (
     GwilliamsPacked,
     build_gwilliams_dataset,

@@ -93,6 +93,34 @@ def sentence_split(sentence_idxs: dict, split_ratio: float, seed: int = 0):
     return train_word_idxs, test_word_idxs
 
 
+def drop_overlapping_words(word_idxs: dict, other_idxs: dict,
+                           speech_onsets: dict, sentence_idxs: dict,
+                           seq_len_sec: float):
+    """Drop words whose segment window leaks into the *other* split.
+
+    The reference leaves this as a TODO stub (gwilliams2022.py:691-698:
+    "Word onsets that have less than 3 seconds until next sentence onset
+    should be dropped so that they don't go across splits").  Implemented
+    here: a word in this split is dropped when its ``seq_len_sec`` window
+    reaches past the onset of any word belonging to the other split.
+    """
+    out = {}
+    for task, widx in word_idxs.items():
+        onsets = np.asarray(speech_onsets[task], float)
+        other = np.sort(onsets[other_idxs[task]])
+        if len(other) == 0:
+            out[task] = widx
+            continue
+        keep = []
+        for w in widx:
+            # first other-split onset strictly after this word's onset
+            j = np.searchsorted(other, onsets[w], side="right")
+            if j >= len(other) or other[j] >= onsets[w] + seq_len_sec:
+                keep.append(w)
+        out[task] = np.asarray(keep, dtype=int)
+    return out
+
+
 def deep_split(speech_onsets: dict, split_ratio: float):
     """Temporal head/tail split per task (Gwilliams2022DeepSplit, :591-629)."""
     train_word_idxs, test_word_idxs = {}, {}
@@ -229,6 +257,12 @@ def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,
     # --- split word indices -------------------------------------------------
     if split_mode == "sentence":
         tr_idx, te_idx = sentence_split(sentence_idxs, float(cfg.split_ratio), seed)
+        if cfg.get("drop_overlapping", False):
+            seq_sec = float(pre.seq_len_sec)
+            tr_idx = drop_overlapping_words(tr_idx, te_idx, speech_onsets,
+                                            sentence_idxs, seq_sec)
+            te_idx = drop_overlapping_words(te_idx, tr_idx, speech_onsets,
+                                            sentence_idxs, seq_sec)
         splits = [tr_idx, te_idx]
     elif split_mode == "deep":
         tr_idx, te_idx = deep_split(speech_onsets, float(cfg.split_ratio))

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 __all__ = ["load_wav2vec", "embed_last4_avg", "embed_features", "w2v_output_rate"]

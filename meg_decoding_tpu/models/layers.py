@@ -23,8 +23,6 @@ TPU-first design notes (differences from the reference's CUDA/torch layout):
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

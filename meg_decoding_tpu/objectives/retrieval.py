@@ -11,8 +11,6 @@ Everything here is one matmul + top-k on device — jit-able and batched.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

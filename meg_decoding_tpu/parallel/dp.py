@@ -10,8 +10,6 @@ config block).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 
 from meg_decoding_tpu.core.mesh import make_mesh, replicated, shard_batch

@@ -9,7 +9,6 @@ Torch schedulers step per-epoch; we express the same curves per-step given
 
 from __future__ import annotations
 
-import numpy as np
 import optax
 
 __all__ = ["make_schedule", "make_optimizer"]

@@ -17,8 +17,6 @@ Loss variants mirror the reference entry points (SURVEY §2.9):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import optax

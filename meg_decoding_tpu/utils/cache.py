@@ -13,7 +13,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Any
 
 __all__ = ["check_preprocs", "config_hash", "mark_done", "is_done"]
 

@@ -202,3 +202,21 @@ class TestSpeechE2E:
 
         best = run(cfg)
         assert np.isfinite(best.get("train_loss", np.nan))
+
+
+class TestDropOverlapping:
+    def test_no_window_crosses_split(self, gw):
+        from meg_decoding_tpu.data.gwilliams import drop_overlapping_words
+
+        cfg, (x, y, mo, so, sent) = gw
+        tr, te = sentence_split(sent, 0.8, seed=0)
+        tr2 = drop_overlapping_words(tr, te, so, sent, seq_len_sec=3.0)
+        for task in so:
+            onsets = np.asarray(so[task])
+            te_onsets = np.sort(onsets[te[task]])
+            for w in tr2[task]:
+                # no test onset inside this train window
+                inside = (te_onsets > onsets[w]) & (te_onsets < onsets[w] + 3.0)
+                assert not inside.any()
+            # kept set is a subset of the original
+            assert set(tr2[task]).issubset(set(tr[task]))
