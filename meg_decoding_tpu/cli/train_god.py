@@ -120,6 +120,20 @@ def run(cfg: Config) -> dict:
                        wandb_cfg=cfg.get("wandb"))
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
 
+    if cfg.get("use_scan_epochs", False) and not with_labels and mesh is None:
+        # whole-epoch scan fast path (single-chip; labels/classification and
+        # sharding use the per-step driver)
+        from meg_decoding_tpu.train.loop import fit_scan
+        from meg_decoding_tpu.train.scan_loop import make_scan_epoch
+
+        scan_epoch = make_scan_epoch(
+            model, optimizer, loss_cfg, collate_cfg, train_set,
+            updates=updates, batch_size=int(cfg.batch_size))
+        state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
+                               eval_step, logger, ckpt,
+                               seed=int(cfg.get("seed", 0)))
+        return best
+
     state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,
                       logger, ckpt, seed=int(cfg.get("seed", 0)),
                       shard_fn=shard_fn, with_labels=with_labels,

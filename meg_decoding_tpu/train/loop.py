@@ -23,7 +23,7 @@ from meg_decoding_tpu.train.checkpoint import CheckpointManager
 from meg_decoding_tpu.utils.logging import RunLogger
 from meg_decoding_tpu.utils.profiling import StepTimer, profile_trace
 
-__all__ = ["fit"]
+__all__ = ["fit", "fit_scan"]
 
 
 def _mean_metrics(history: list[dict]) -> dict:
@@ -134,4 +134,45 @@ def fit(
             best_top10 = em.get("test_top10", -1.0)
             best_metrics = row
 
+    return state, best_metrics
+
+
+def fit_scan(
+    cfg,
+    train_set,
+    test_set,
+    state,
+    scan_epoch: Callable,
+    eval_step: Callable,
+    logger: RunLogger,
+    ckpt: Optional[CheckpointManager] = None,
+    seed: int = 0,
+):
+    """Epoch driver over whole-epoch scan programs (train/scan_loop.py):
+    one device call per epoch, then the usual test pass + logging + ckpt."""
+    epochs = int(cfg.epochs)
+    test_size = min(len(test_set), int(cfg.get("test_size", cfg.batch_size)))
+    key = jax.random.PRNGKey(seed)
+    best_top10, best_metrics = -1.0, {}
+
+    for epoch in range(epochs):
+        key, ekey, tkey = jax.random.split(key, 3)
+        state, tm = scan_epoch(state, ekey)
+        tm = {k: float(v) for k, v in tm.items()}
+
+        test_idx = np.asarray(
+            jax.random.choice(tkey, len(test_set), (test_size,), replace=False))
+        tbatch = test_set.gather(test_idx)
+        test_metrics, _ = eval_step(state.params, state.batch_stats, *tbatch[:3])
+        em = {f"test_{k}": float(v) for k, v in test_metrics.items()}
+        row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em}
+        logger.log(row)
+        logger.summary(epoch, epochs, row)
+        if ckpt is not None:
+            ckpt.save("model_last", state)
+        if em.get("test_top10", -1.0) > best_top10:
+            best_top10 = em.get("test_top10", -1.0)
+            best_metrics = row
+            if ckpt is not None:
+                ckpt.save("model_best", state)
     return state, best_metrics
