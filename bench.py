@@ -65,12 +65,13 @@ def main():
         CollateConfig(baseline_len_samp=60, clamp_lim=20.0), donate=True,
     )
 
-    # compile + warmup
+    # compile + warmup (float() readback: block_until_ready does not
+    # reliably block through the axon relay)
     state, metrics = train_step(state, X, Y, subs)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     for _ in range(3):
         state, metrics = train_step(state, X, Y, subs)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     # The attached chip is shared through a relay and run-to-run interference
     # is large; time several windows and report the best (interference only
@@ -81,7 +82,7 @@ def main():
         t0 = time.time()
         for _ in range(n_steps):
             state, metrics = train_step(state, X, Y, subs)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # forces completion of the whole step chain
         best_dt = min(best_dt, time.time() - t0)
     sps = B * n_steps / best_dt
 

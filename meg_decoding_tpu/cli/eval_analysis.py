@@ -90,6 +90,42 @@ def extend_gallery(Y: np.ndarray, distractors: np.ndarray,
     return np.concatenate([np.asarray(Y, np.float32), d], axis=0)
 
 
+def save_top5_image_tiles(rows, image_dir: str, save_root: str,
+                          max_queries: int = 20):
+    """Dump a tile figure per query: the query image + its top-5 predictions
+    (reference eval_wowandb_cv_imagenet_val.py:396-422).  ``image_dir`` maps
+    1-indexed gallery ids to files named ``<id>.*``."""
+    import glob
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.image import imread
+
+    def _find(img_id):
+        hits = glob.glob(os.path.join(image_dir, f"{img_id}.*"))
+        return hits[0] if hits else None
+
+    out_dir = os.path.join(save_root, "top5_tiles")
+    os.makedirs(out_dir, exist_ok=True)
+    for r in rows[:max_queries]:
+        ids = [r["query_image_id"]] + [r[f"top{k}_image_id"] for k in range(1, 6)]
+        fig, axes = plt.subplots(1, 6, figsize=(18, 3))
+        for ax, img_id, title in zip(
+            axes, ids, ["query"] + [f"top{k}" for k in range(1, 6)]
+        ):
+            path = _find(img_id)
+            if path:
+                ax.imshow(imread(path))
+            ax.set_title(f"{title} (id {img_id})")
+            ax.axis("off")
+        plt.savefig(os.path.join(out_dir, f"query_{r['query_image_id']}.png"),
+                    bbox_inches="tight")
+        plt.close()
+    return out_dir
+
+
 def run_error_analysis(Z, Y, labels, save_root: str,
                        distractors=None, norm_mean=None, norm_std=None,
                        standardize: bool = True, make_plots: bool = True) -> dict:

@@ -125,6 +125,17 @@ def run(cfg: Config) -> dict:
         )
         results["similarity_acc"] = analysis["similarity_acc"]
         results["mean_acc_scene"] = analysis["mean_acc_scene"]
+        image_dir = cfg.get("image_dir")
+        if image_dir:
+            from meg_decoding_tpu.cli.eval_analysis import save_top5_image_tiles
+
+            import csv as _csv
+
+            with open(os.path.join(save_root, "top5.csv")) as f:
+                rows = [{k: int(float(v)) if k != "acc(scene_id)" else float(v)
+                         for k, v in r.items() if k}
+                        for r in _csv.DictReader(f)]
+            save_top5_image_tiles(rows, image_dir, save_root)
 
     out_path = os.path.join(save_root, "eval_results.json")
     os.makedirs(save_root, exist_ok=True)

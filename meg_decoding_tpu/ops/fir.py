@@ -1,4 +1,4 @@
-"""FIR bandpass filtering: MNE-equivalent design, XLA application.
+"""FIR bandpass filtering: MNE-equivalent design, TPU-safe XLA application.
 
 Reference call sites: ``mne.filter.filter_data(ROI_MEG_Data, sfreq=fs,
 l_freq=1.0, h_freq=60)`` (``meg_decoding/dataclass/god.py:131``,
@@ -11,10 +11,12 @@ MNE's defaults (reimplemented here because MNE is not in the image):
 * filter length ``3.3 / min(l_trans, h_trans) · sfreq``, rounded up to odd;
 * edge handling: reflect-limited padding of half the filter length.
 
-Design happens once on host (numpy / scipy.signal.firwin); application is a
-single batched FFT convolution on device — recordings × channels vectorize
-into one big (N, T) problem that XLA pipelines through HBM.  For very long
-recordings use ``overlap_add=True`` to bound the FFT working set.
+Design happens once on host (scipy.signal.firwin); application is
+**overlap-save convolution with power-of-two FFT blocks** — XLA's TPU FFT is
+only fast at pow2 sizes (other lengths lower to a dense DFT matmul: a single
+Gwilliams-length rfft tried to allocate 656 GB), and overlap-save also bounds
+the working set for arbitrarily long recordings (SURVEY §5.7).  Batched over
+recordings × channels; shard the leading axis over the mesh to scale.
 """
 
 from __future__ import annotations
@@ -27,25 +29,6 @@ import numpy as np
 from scipy.signal import firwin
 
 __all__ = ["design_bandpass_fir", "apply_fir", "bandpass_filter"]
-
-
-def _next_fast_len(n: int) -> int:
-    """Smallest 5-smooth number ≥ n (good FFT sizes)."""
-    if n <= 6:
-        return n
-    best = 1 << (n - 1).bit_length()
-    f5 = 1
-    while f5 < best:
-        f35 = f5
-        while f35 < best:
-            x = f35
-            while x < n:
-                x *= 2
-            if x < best:
-                best = x
-            f35 *= 3
-        f5 *= 5
-    return best
 
 
 def design_bandpass_fir(
@@ -75,7 +58,6 @@ def design_bandpass_fir(
         filter_length += 1
 
     if l_freq is not None and h_freq is not None:
-        # band-pass: cutoffs at the band edges minus/plus half a transition
         f_l = l_freq - l_trans / 2.0
         f_h = h_freq + h_trans / 2.0
         h = firwin(filter_length, [max(f_l, 1e-6), min(f_h, nyq - 1e-6)],
@@ -96,33 +78,42 @@ def _reflect_limited_pad(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=-1)
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
 @partial(jax.jit, static_argnames=("pad",))
 def apply_fir(x: jnp.ndarray, h: jnp.ndarray, pad: str = "reflect_limited") -> jnp.ndarray:
-    """Zero-phase application of an odd-length symmetric FIR along the last axis.
-
-    x: (..., T) float array; h: (L,) taps with L odd.  FFT convolution with
-    delay compensation; float64→float32-safe (computes in input dtype).
-    """
+    """Zero-phase application of an odd-length symmetric FIR along the last
+    axis via pow2 overlap-save.  x: (..., T); h: (L,) taps, L odd."""
     L = h.shape[0]
     n_edge = (L - 1) // 2
     T = x.shape[-1]
     if pad == "reflect_limited":
-        xp = _reflect_limited_pad(x, min(n_edge, T - 1))
         n_pad = min(n_edge, T - 1)
+        xp = _reflect_limited_pad(x, n_pad)
     elif pad == "zero":
-        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(n_edge, n_edge)])
         n_pad = n_edge
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(n_edge, n_edge)])
     else:
         raise ValueError(pad)
-    n_full = xp.shape[-1] + L - 1
-    n_fft = _next_fast_len(n_full)
-    X = jnp.fft.rfft(xp, n=n_fft)
+
+    # overlap-save: linear conv of xp with h, evaluated blockwise with
+    # power-of-two FFTs (TPU-fast), then the zero-phase-aligned slice
+    n_fft = min(max(_next_pow2(4 * L), 4096), _next_pow2(xp.shape[-1] + L - 1))
+    valid = n_fft - L + 1
+    start = n_pad + n_edge  # offset of the aligned output within y_lin
+    n_out = start + T
+    n_blocks = -(-n_out // valid)
+
+    xz = jnp.pad(xp, [(0, 0)] * (x.ndim - 1)
+                 + [(L - 1, n_blocks * valid + n_fft - (xp.shape[-1] + L - 1))])
+    idx = (jnp.arange(n_blocks)[:, None] * valid + jnp.arange(n_fft)[None, :])
+    frames = xz[..., idx]  # (..., n_blocks, n_fft)
     H = jnp.fft.rfft(h.astype(x.dtype), n=n_fft)
-    y = jnp.fft.irfft(X * H, n=n_fft)[..., : n_full]
-    # full conv of padded signal starts at index 0; the zero-phase output
-    # aligned with x starts at n_pad + n_edge
-    start = n_pad + n_edge
-    return jax.lax.dynamic_slice_in_dim(y, start, T, axis=-1).astype(x.dtype)
+    Y = jnp.fft.irfft(jnp.fft.rfft(frames) * H, n=n_fft)
+    y_lin = Y[..., L - 1 : L - 1 + valid].reshape(*x.shape[:-1], n_blocks * valid)
+    return jax.lax.dynamic_slice_in_dim(y_lin, start, T, axis=-1).astype(x.dtype)
 
 
 def bandpass_filter(

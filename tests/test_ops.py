@@ -82,7 +82,8 @@ class TestResample:
         got = np.asarray(resample_fft(jnp.array(x), down=1000 / 120))
         expect = sp_resample(x, new_len, axis=-1)
         assert got.shape == (4, new_len)
-        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+        # f32 Bluestein path: slightly looser than a direct f64 FFT
+        np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
 
     def test_upsample(self):
         from scipy.signal import resample as sp_resample
@@ -91,7 +92,7 @@ class TestResample:
         x = rng.randn(2, 100).astype(np.float64)
         got = np.asarray(resample_fft(jnp.array(x), up=2.4))
         expect = sp_resample(x, 240, axis=-1)
-        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
 
     def test_tone_preserved(self):
         fs, new_fs = 1000, 120
@@ -157,3 +158,39 @@ class TestBaselineEpoch:
             expect = RobustScaler().fit_transform(Xb[b].T).T
             expect = np.clip(expect, -20, 20)
             np.testing.assert_allclose(got[b], expect, rtol=1e-4, atol=1e-6)
+
+
+class TestArbitraryLengthFFT:
+    """Bluestein FFTs must match numpy exactly (TPU-safe non-pow2 path)."""
+
+    @pytest.mark.parametrize("n", [360, 1000, 47520, 12345])
+    def test_rfft_matches_numpy(self, n):
+        from meg_decoding_tpu.ops.fft import rfft_any
+
+        rng = np.random.RandomState(n % 100)
+        x = rng.randn(3, n).astype(np.float32)
+        got = np.asarray(rfft_any(jnp.array(x), n))
+        expect = np.fft.rfft(x, axis=-1)
+        np.testing.assert_allclose(got, expect, rtol=2e-4,
+                                   atol=2e-3 * np.sqrt(n))
+
+    @pytest.mark.parametrize("n", [360, 999, 4096])
+    def test_irfft_roundtrip(self, n):
+        from meg_decoding_tpu.ops.fft import irfft_any, rfft_any
+
+        rng = np.random.RandomState(n % 97)
+        x = rng.randn(2, n).astype(np.float32)
+        back = np.asarray(irfft_any(rfft_any(jnp.array(x), n), n))
+        np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+    def test_long_resample_matches_scipy(self):
+        """Gwilliams-scale downsample (396k → 120 Hz) via Bluestein."""
+        from scipy.signal import resample as sp_resample
+
+        rng = np.random.RandomState(0)
+        T = 39600  # 1/10 scale for CPU test time; still non-pow2 Bluestein
+        x = rng.randn(20, T).astype(np.float64)  # >_ROW_CHUNK → chunked path
+        new_len = resample_len(T, down=1000 / 120)
+        got = np.asarray(resample_fft(jnp.array(x), down=1000 / 120))
+        expect = sp_resample(x, new_len, axis=-1)
+        np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
