@@ -34,13 +34,14 @@ class SubjectBlock(nn.Module):
     D1: int = 270
     K: int = 32
     d_drop: float = 0.1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
         X = SpatialAttention(
             loc=self.loc, D1=self.D1, K=self.K, d_drop=self.d_drop, name="spatial_attention"
         )(X, deterministic=not train)
-        X = nn.Dense(features=self.D1, name="conv")(X)  # 1×1 conv ≡ Dense in NWC
+        X = nn.Dense(features=self.D1, name="conv", dtype=self.dtype)(X)
         X = SubjectLayers(num_subjects=self.num_subjects, dim=self.D1, name="subject_layer")(
             X, subject_idxs
         )
@@ -64,6 +65,7 @@ class BrainEncoder(nn.Module):
     d_drop: float = 0.1
     seq2seq: bool = False
     num_blocks: int = 5
+    dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
@@ -74,12 +76,17 @@ class BrainEncoder(nn.Module):
             D1=self.D1,
             K=self.K,
             d_drop=self.d_drop,
+            dtype=self.dtype,
             name="subject_block",
         )(X, subject_idxs, train=train)
         for k in range(self.num_blocks):
-            X = ConvBlock(k=k, D2=self.D2, name=f"conv{k}")(X, train=train)
-        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1")(X), approximate=False)
-        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2")(X), approximate=False)
+            X = ConvBlock(k=k, D2=self.D2, dtype=self.dtype, name=f"conv{k}")(
+                X, train=train)
+        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
+                                 dtype=self.dtype)(X), approximate=False)
+        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
+                                 dtype=self.dtype)(X), approximate=False)
+        X = X.astype(jnp.float32)  # loss/metrics always run f32
         if self.seq2seq:
             return jnp.swapaxes(X, 1, 2)  # (B, F, T) like the reference
         return jnp.mean(X, axis=1)  # (B, F)

@@ -24,6 +24,13 @@ def _resolve_F(cfg) -> int:
     return int(cfg.get("F", 512))
 
 
+def _compute_dtype(cfg):
+    import jax.numpy as jnp
+
+    name = cfg.get("compute_dtype", "float32")
+    return {"float32": None, "bfloat16": jnp.bfloat16}[str(name)]
+
+
 def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = None):
     """Build the encoder named by ``cfg.model``.
 
@@ -80,7 +87,8 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
     )
     if name == "brain_encoder":
         assert loc is not None, "brain_encoder needs sensor locations"
-        return BrainEncoder(loc=loc, seq2seq=bool(cfg.get("seq2seq", False)), **common)
+        return BrainEncoder(loc=loc, seq2seq=bool(cfg.get("seq2seq", False)),
+                            dtype=_compute_dtype(cfg), **common)
     if name == "brain_endcoder_seq2static":  # sic — reference's spelling
         assert loc is not None
         ks_list = list(cfg.select("ConvBlocks.ks", [3, 3, 3, 3, 3]))

@@ -132,30 +132,35 @@ class ConvBlock(nn.Module):
     Reference ``models.py:276-322``; the dilations there are commented out,
     so effective dilation is 1 (matched here, configurable for the
     seq2static variant's per-block kernel sizes).
-    Operates in NWC ``(B, T, C)`` layout.
+    Operates in NWC ``(B, T, C)`` layout.  ``dtype`` sets the compute dtype
+    (bf16 halves HBM traffic on TPU; params stay f32).
     """
 
     k: int
     D2: int
     ks: int = 3
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, X: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         conv = lambda feats, name: nn.Conv(
-            features=feats, kernel_size=(self.ks,), padding="SAME", name=name
+            features=feats, kernel_size=(self.ks,), padding="SAME", name=name,
+            dtype=self.dtype,
         )
         h = conv(self.D2, "conv0")(X)
         if self.k > 0:
             h = h + X  # skip (only when in/out dims match, models.py:308-312)
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum, name="bn0"
+            use_running_average=not train, momentum=self.bn_momentum, name="bn0",
+            dtype=self.dtype,
         )(h)
         h = jax.nn.gelu(h, approximate=False)
 
         h2 = conv(self.D2, "conv1")(h) + h
         h2 = nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum, name="bn1"
+            use_running_average=not train, momentum=self.bn_momentum, name="bn1",
+            dtype=self.dtype,
         )(h2)
         h2 = jax.nn.gelu(h2, approximate=False)
 

@@ -265,3 +265,21 @@ class TestEEGNetSub:
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[3]) * 0
                                    + np.asarray(m.apply(v, X[:1], subs[:1]))[0],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestComputeDtype:
+    def test_bf16_forward_close_to_f32(self):
+        C, B, T = 10, 4, 24
+        loc = _loc(C)
+        Xin = jnp.array(np.random.RandomState(30).randn(B, C, T).astype(np.float32))
+        idxs = jnp.array([0, 1, 2, 0])
+        f32 = BrainEncoder(loc=loc, num_subjects=3, D1=12, D2=16, F=32, K=4)
+        bf16 = BrainEncoder(loc=loc, num_subjects=3, D1=12, D2=16, F=32, K=4,
+                            dtype=jnp.bfloat16)
+        v = f32.init(jax.random.PRNGKey(0), Xin, idxs)
+        out32 = np.asarray(f32.apply(v, Xin, idxs))
+        out16 = np.asarray(bf16.apply(v, Xin, idxs))
+        assert out16.dtype == np.float32  # cast back before loss
+        # bf16 has ~3 decimal digits; outputs must correlate near-perfectly
+        corr = np.corrcoef(out32.ravel(), out16.ravel())[0, 1]
+        assert corr > 0.999
