@@ -132,3 +132,21 @@ class TestVariants:
         cfg2.set_dotted("loss.same_label_weight", 0.5)
         best2 = run(cfg2)
         assert np.isfinite(best2.get("train_loss", np.nan))
+
+
+class TestCVMode:
+    def test_fixed_index_cv_split_trains(self, tmp_path):
+        """training_mode=cv: the reference's fixed-index split over packed
+        epochs (train_wowandb_cv.py:145-148 generalized)."""
+        root = str(tmp_path / "d")
+        from meg_decoding_tpu.cli.train_god import run
+
+        cfg = _train_cfg(root, str(tmp_path / "o"))
+        cfg.training_mode = "cv"
+        cfg.epochs = 1
+        cfg.updates = 3
+        cfg.test_size = 8
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        # 2 subjects x 20 epochs; 17/20 per subject to train, 3/20 to test
+        # (5/6 rounding of the reference's 3000/3600 ratio)
