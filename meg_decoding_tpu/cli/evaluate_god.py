@@ -28,7 +28,7 @@ from meg_decoding_tpu.data.layout import ch_locations_2d
 from meg_decoding_tpu.data.roi import roi
 from meg_decoding_tpu.models.factory import get_model
 from meg_decoding_tpu.objectives.retrieval import (
-    pairwise_identification,
+    pairwise_identification_gallery,
     retrieval_accuracy,
     zero_shot_classification,
 )
@@ -106,9 +106,17 @@ def run(cfg: Config) -> dict:
         )
         results.update({f"zeroshot_{k}": float(v) for k, v in zs.items()})
 
-    # pairwise identification (the headline GOD number, evaluate.py:191-249)
+    # pairwise identification (the headline GOD number, evaluate.py:191-249):
+    # trial-average predictions per image (evaluate.py:182-189) and score
+    # against the unique per-image gallery (denominator = n_images - 1)
+    uniq_labels, first_idx = np.unique(labels, return_index=True)
+    gallery_Y = Y[first_idx]
+    Z_avg = np.stack([Z[labels == l].mean(0) for l in uniq_labels])
+    targets = np.arange(len(uniq_labels))
     for metric in ("correlation", "cosine"):
-        pid = pairwise_identification(jnp.asarray(Z), jnp.asarray(Y), metric=metric)
+        pid = pairwise_identification_gallery(
+            jnp.asarray(Z_avg), jnp.asarray(gallery_Y), jnp.asarray(targets),
+            metric=metric)
         results[f"pairwise_{metric}"] = float(jnp.mean(pid))
 
     # optional error analysis + ImageNet distractors (eval_wowandb_cv*.py)

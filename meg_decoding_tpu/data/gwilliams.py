@@ -158,6 +158,7 @@ class GwilliamsPacked:
     session_subject: jnp.ndarray
     seq_len: int
     num_subjects: int
+    _seg_table: np.ndarray | None = None  # lazily built, immutable per split
 
     def __len__(self):
         return int(self.n_words.sum())
@@ -167,10 +168,13 @@ class GwilliamsPacked:
         return np.concatenate([[0], np.cumsum(self.n_words)[:-1]])
 
     def segment_table(self):
-        """(N, 2) rows (task, i_in_task) for global segment ids."""
-        rows = [np.stack([np.full(n, t), np.arange(n)], 1)
-                for t, n in enumerate(self.n_words)]
-        return np.concatenate(rows, axis=0)
+        """(N, 2) rows (task, i_in_task) for global segment ids (cached —
+        this sits on the per-batch gather hot path)."""
+        if self._seg_table is None:
+            rows = [np.stack([np.full(n, t), np.arange(n)], 1)
+                    for t, n in enumerate(self.n_words)]
+            object.__setattr__(self, "_seg_table", np.concatenate(rows, axis=0))
+        return self._seg_table
 
 
 def _slice_window(stream, onset, length):

@@ -35,8 +35,12 @@ def w2v_output_rate() -> float:
 
 
 def load_wav2vec(model_name: str = "facebook/wav2vec2-large-xlsr-53",
-                 backend: str = "auto"):
-    """Return (flax module, params).  backend: 'hf' | 'random' | 'auto'."""
+                 backend: str = "auto", num_hidden_layers: int = 24):
+    """Return (flax module, params).  backend: 'hf' | 'random' | 'auto'.
+
+    ``num_hidden_layers`` only affects the random backend (tests use a
+    shallow model; frame rate and last-4 semantics are depth-independent).
+    """
     from transformers import FlaxWav2Vec2Model, Wav2Vec2Config
 
     if backend in ("hf", "auto"):
@@ -50,8 +54,9 @@ def load_wav2vec(model_name: str = "facebook/wav2vec2-large-xlsr-53",
                   "using randomly initialized model (backend='random')")
     # random init with the architecture of the named model (offline-safe)
     cfg = Wav2Vec2Config(
-        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
-        intermediate_size=4096, do_stable_layer_norm=True, feat_extract_norm="layer",
+        hidden_size=1024, num_hidden_layers=num_hidden_layers,
+        num_attention_heads=16, intermediate_size=4096,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
     )
     model = FlaxWav2Vec2Model(cfg, seed=0)
     return model, model.params

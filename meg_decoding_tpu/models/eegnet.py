@@ -51,7 +51,11 @@ class EEGNet(nn.Module):
                     name="conv1")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          name="bn1")(h)
+        return self._tail(h, train)
 
+    def _tail(self, h, train):
+        """conv2 → separable conv3 → pools/dropouts → Dense head (shared with
+        EEGNetSub, which only replaces conv1)."""
         # depthwise spatial conv over all channels: kernel (C, 1), groups=F1
         h = nn.Conv(self.D * self.F1, kernel_size=(self.num_channels, 1),
                     padding="VALID", feature_group_count=self.F1, use_bias=False,
@@ -113,27 +117,6 @@ class EEGNetSub(EEGNet):
         h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          name="bn1")(h)
         return self._tail(h, train)
-
-    def _tail(self, h, train):
-        h = nn.Conv(self.D * self.F1, kernel_size=(self.num_channels, 1),
-                    padding="VALID", feature_group_count=self.F1, use_bias=False,
-                    name="conv2")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                         name="bn2")(h)
-        h = nn.elu(h)
-        h = nn.avg_pool(h, window_shape=(1, self.p1), strides=(1, self.p1))
-        h = nn.Dropout(rate=self.dr1, deterministic=not train)(h)
-        h = nn.Conv(self.D * self.F1, kernel_size=(1, self.k2), padding="SAME",
-                    feature_group_count=self.D * self.F1, use_bias=False,
-                    name="conv3_dw")(h)
-        h = nn.Conv(self.F2, kernel_size=(1, 1), use_bias=False, name="conv3_pw")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
-                         name="bn3")(h)
-        h = nn.elu(h)
-        h = nn.avg_pool(h, window_shape=(1, self.p2), strides=(1, self.p2))
-        h = nn.Dropout(rate=self.dr2, deterministic=not train)(h)
-        h = h.reshape(h.shape[0], -1)
-        return nn.Dense(self.out_dim, name="classifier")(h)
 
 
 class LinearEncoder(nn.Module):

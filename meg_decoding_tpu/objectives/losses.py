@@ -53,16 +53,19 @@ def smooth_category_targets(
 ) -> jnp.ndarray:
     """Smoothed one-hot targets over the training gallery.
 
-    Reference ``loss.py:175-187``: besides the true index, images in the same
-    category block (``l % same_category_length`` selecting an 8-image block)
-    receive ``smooth_value``.  labels are 0-indexed here (the reference
-    subtracts 1 at ``loss.py:191``).
+    Reference intent (``loss.py:175-187``): besides the true index, the
+    other images of the label's 8-image category block receive
+    ``smooth_value``.  The reference computes the block with ``l % 8`` —
+    inside a condition that is always False (``loss.py:179`` ands two
+    incompatible mode checks), i.e. dead code; the live semantics here use
+    the label's actual category ``l // 8``.  labels are 0-indexed (the
+    reference subtracts 1 at ``loss.py:191``).
     """
     B = labels.shape[0]
     cols = jnp.arange(gallery_size)[None, :]
-    l_mod = (labels % same_category_length)[:, None]
-    block = (cols >= l_mod * same_category_length) & (
-        cols < (l_mod + 1) * same_category_length
+    l_cat = (labels // same_category_length)[:, None]
+    block = (cols >= l_cat * same_category_length) & (
+        cols < (l_cat + 1) * same_category_length
     )
     targets = jnp.where(block, smooth_value, 0.0)
     targets = targets.at[jnp.arange(B), labels].set(1.0)

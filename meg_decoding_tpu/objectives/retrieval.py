@@ -19,6 +19,7 @@ __all__ = [
     "retrieval_accuracy",
     "zero_shot_classification",
     "pairwise_identification",
+    "pairwise_identification_gallery",
 ]
 
 EPS = 1e-8
@@ -99,3 +100,22 @@ def pairwise_identification(Z, Y, metric: str = "correlation") -> jnp.ndarray:
     wins = (true_sim > sim).astype(jnp.float32)
     # exclude the self comparison from the denominator
     return (jnp.sum(wins, axis=1) - 0.0) / (B - 1)
+
+
+def pairwise_identification_gallery(Z, gallery, target_idx,
+                                    metric: str = "correlation") -> jnp.ndarray:
+    """Pairwise identification against an explicit candidate gallery — the
+    reference's headline GOD setup (evaluate.py:191-249 scores each
+    prediction against the 50-image ``image_features.npy``; denominator
+    G−1 = 49).  Returns per-query accuracies (B,)."""
+    if metric == "correlation":
+        sim = _rowwise_corr(Z.reshape(Z.shape[0], -1),
+                            gallery.reshape(gallery.shape[0], -1))
+    elif metric == "cosine":
+        sim = cosine_similarity_matrix(Z, gallery)
+    else:
+        raise ValueError(metric)
+    G = sim.shape[1]
+    true_sim = jnp.take_along_axis(sim, target_idx[:, None], axis=1)
+    wins = jnp.sum((true_sim > sim).astype(jnp.float32), axis=1)
+    return wins / (G - 1)

@@ -51,6 +51,7 @@ class LossConfig:
     l2_weight: float = 0.0          # manual L2 penalty on params (regression)
     criterion: str = "crossentropy"  # for classification kind
     smooth_value: float = 0.1
+    label_offset: int = 0           # GOD vec_index is 1-indexed → offset 1
     grad_norms: bool = False        # log global grad norm (vis_grad parity)
 
 
@@ -74,8 +75,9 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
         loss = mse_loss(Y, Z)
     elif loss_cfg.kind == "classification":
         assert gallery is not None and labels is not None
+        # reference subtracts 1 from GOD labels before use (loss.py:191)
         loss = clip_like_classification_loss(
-            Z, labels, gallery, temp,
+            Z, labels - loss_cfg.label_offset, gallery, temp,
             criterion=loss_cfg.criterion, train=train,
             smooth_value=loss_cfg.smooth_value,
             gallery_self_similarity=gallery_self_sim,
@@ -129,8 +131,9 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             # debug visibility into gradient flow (reference
             # utils/vis_grad.py:4-6 printed per-module grad sums)
             metrics["grad_norm"] = optax.global_norm(grads)
-        if loss_cfg.kind != "classification":
-            metrics.update(retrieval_accuracy(Z, Y, top_ks=(1, 10)))
+        # the reference skeleton tracks retrieval top-k in every variant
+        # (train_my_classifier.py shares train.py's metric loop)
+        metrics.update(retrieval_accuracy(Z, Y, top_ks=(1, 10)))
         new_state = TrainState(
             params=new_params, batch_stats=new_bs, opt_state=new_opt_state,
             step=state.step + 1, key=key,
@@ -158,8 +161,7 @@ def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
         loss = _compute_loss(loss_cfg, Z, Y, labels, params["loss"]["temp"],
                              params, gallery, gallery_self_sim, train=False)
         metrics = {"loss": loss, "temp": params["loss"]["temp"]}
-        if loss_cfg.kind != "classification":
-            metrics.update(retrieval_accuracy(Z, Y, top_ks=top_ks))
+        metrics.update(retrieval_accuracy(Z, Y, top_ks=top_ks))
         return metrics, Z
 
     return jax.jit(eval_step)

@@ -137,8 +137,10 @@ def build_y(cfg, cache_dir):
     pre = cfg.preprocs
     audio_dir = os.path.join(cfg.root_dir, "data", "Gwilliams2022", "stimuli",
                              "audio")
+    # default 'hf': a cache built from randomly initialized embeddings would
+    # be silently garbage and permanently marked y_done
     model, params = load_wav2vec(cfg.get("wav2vec_model"),
-                                 backend=cfg.get("wav2vec_backend", "auto"))
+                                 backend=cfg.get("wav2vec_backend", "hf"))
     target = int(pre.audio_resample_rate)
     y_dict = {}
     for t, prefix in enumerate(TASK_PREFIXES):

@@ -194,3 +194,36 @@ class TestTrainLoop:
                         jax.tree_util.tree_leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestClassificationLabelOffset:
+    def test_one_indexed_labels_align_with_gallery(self):
+        """GOD vec_index is 1-indexed; label_offset=1 must make the
+        classification loss reward predictions matching gallery[label-1]."""
+        import optax
+
+        from meg_decoding_tpu.train.steps import make_eval_step
+
+        rng = np.random.RandomState(0)
+        G, F_ = 10, 8
+        gallery = rng.randn(G, F_).astype(np.float32)
+        labels = np.array([1, 4, 9])  # 1-indexed ids (within bounds either way)
+        # predictions exactly equal to the labelled gallery rows
+        Z_src = gallery[labels - 1]
+
+        model = LinearEncoder(scp=True, out_dim=F_)
+        # identity-ish setup: feed Z through a linear layer is awkward; instead
+        # call the loss path directly via the eval step with X s.t. model(X)=Z
+        # → use a model-free check through _compute_loss instead:
+        from meg_decoding_tpu.train.steps import LossConfig, _compute_loss
+
+        good = float(_compute_loss(
+            LossConfig(kind="classification", label_offset=1),
+            jnp.array(Z_src), None, jnp.array(labels), jnp.array(2.0),
+            {"model": {}}, gallery=jnp.array(gallery), train=False))
+        bad = float(_compute_loss(
+            LossConfig(kind="classification", label_offset=0),
+            jnp.array(Z_src), None, jnp.array(labels), jnp.array(2.0),
+            {"model": {}}, gallery=jnp.array(gallery), train=False))
+        assert good < bad  # aligned labels give (much) lower CE
+        assert good < 0.5

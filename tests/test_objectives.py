@@ -137,11 +137,11 @@ class TestAuxLosses:
         assert got == pytest.approx(float(np.mean(vals)), rel=1e-5)
 
     def test_smooth_targets_block(self):
-        t = np.asarray(smooth_category_targets(jnp.array([9]), 1200,
+        t = np.asarray(smooth_category_targets(jnp.array([10]), 1200,
                                                same_category_length=8,
                                                smooth_value=0.1))[0]
-        # l=9 → l_mod=1 → block [8, 16) gets 0.1; true index 9 gets 1.0
-        assert t[9] == 1.0
+        # l=10 → category 10//8=1 → block [8, 16) gets 0.1; index 10 gets 1.0
+        assert t[10] == 1.0
         assert t[8] == pytest.approx(0.1)
         assert t[15] == pytest.approx(0.1)
         assert t[16] == 0.0 and t[7] == 0.0

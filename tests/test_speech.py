@@ -133,7 +133,7 @@ class TestWav2Vec:
             load_wav2vec,
         )
 
-        model, params = load_wav2vec(backend="random")
+        model, params = load_wav2vec(backend="random", num_hidden_layers=5)
         wav = np.random.RandomState(0).randn(16000 * 2).astype(np.float32) * 0.1
         emb = embed_last4_avg(model, params, wav, chunk_sec=1.0, overlap_sec=0.2)
         assert emb.shape[0] == 1024
@@ -146,7 +146,7 @@ class TestWav2Vec:
             load_wav2vec,
         )
 
-        model, params = load_wav2vec(backend="random")
+        model, params = load_wav2vec(backend="random", num_hidden_layers=5)
         wav = np.random.RandomState(1).randn(16000 * 3).astype(np.float32) * 0.1
         whole = embed_last4_avg(model, params, wav, chunk_sec=10.0)
         chunked = embed_last4_avg(model, params, wav, chunk_sec=2.0,
