@@ -120,6 +120,18 @@ def run(cfg: Config) -> dict:
                        use_wandb=bool(cfg.get("use_wandb", False)),
                        wandb_cfg=cfg.get("wandb"))
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    start_epoch = 0
+    if cfg.get("resume", False) and ckpt.exists("model_last"):
+        state = ckpt.restore("model_last", state)
+        # epoch numbering continues from the logged history
+        import glob as _glob
+
+        logs = sorted(_glob.glob(os.path.join(save_root, "runs", "*",
+                                              "metrics.jsonl")))
+        if logs:
+            start_epoch = sum(1 for _ in open(logs[-1]))
+        print(f"resumed from model_last at epoch {start_epoch} "
+              f"(step {int(state.step)})")
 
     if cfg.get("use_scan_epochs", False) and not with_labels and mesh is None:
         # whole-epoch scan fast path (single-chip; labels/classification and
@@ -138,5 +150,6 @@ def run(cfg: Config) -> dict:
     state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,
                       logger, ckpt, seed=int(cfg.get("seed", 0)),
                       shard_fn=shard_fn, with_labels=with_labels,
-                      batch_multiple=(mesh.shape["data"] if mesh else 1))
+                      batch_multiple=(mesh.shape["data"] if mesh else 1),
+                      start_epoch=start_epoch)
     return best

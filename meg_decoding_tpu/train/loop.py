@@ -46,6 +46,7 @@ def fit(
     shard_fn: Callable | None = None,
     with_labels: bool = False,
     batch_multiple: int = 1,
+    start_epoch: int = 0,
 ):
     """Run the full training loop; returns (final_state, best_metrics).
 
@@ -53,6 +54,8 @@ def fit(
     sharding — the multi-chip path; identity on a single device.
     ``batch_multiple`` rounds batch sizes down to a multiple (the data-axis
     size when sharding, so every device gets an equal slice).
+    ``start_epoch`` continues epoch numbering after a resume (the state
+    itself carries params/opt/step/PRNG — SURVEY §5.4's reference gap).
     """
     epochs = int(cfg.epochs)
 
@@ -76,8 +79,8 @@ def fit(
     profile_dir = cfg.get("profile_dir") if hasattr(cfg, "get") else None
     profile_epoch = int(cfg.get("profile_epoch", 1)) if profile_dir else -1
 
-    for epoch in range(epochs):
-        key, ekey, tkey = jax.random.split(key, 3)
+    for epoch in range(start_epoch, epochs):
+        key, ekey, tkey = jax.random.split(jax.random.fold_in(key, epoch), 3)
         if use_sampler:
             idx_epoch = np.asarray(
                 sample_with_replacement(ekey, len(train_set), updates, batch_size)
@@ -121,6 +124,13 @@ def fit(
         row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em,
                **timer.means_ms()}
         timer.reset()
+        if not np.isfinite(row.get("train_loss", 0.0)):
+            # failure detection (the reference has none, SURVEY §5.3): stop
+            # before a NaN state overwrites the last good checkpoint
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch}: "
+                f"{row.get('train_loss')} — state NOT checkpointed; restore "
+                "model_last and lower the learning rate")
         logger.log(row)
         logger.summary(epoch, epochs, row)
 

@@ -150,3 +150,28 @@ class TestCVMode:
         assert np.isfinite(best.get("train_loss", np.nan))
         # 2 subjects x 20 epochs; 17/20 per subject to train, 3/20 to test
         # (5/6 rounding of the reference's 3000/3600 ratio)
+
+
+class TestResume:
+    def test_resume_continues_epoch_numbering_and_state(self, tmp_path):
+        root = str(tmp_path / "d")
+        save_root = str(tmp_path / "o")
+        from meg_decoding_tpu.cli.train_god import run
+
+        cfg = _train_cfg(root, save_root)
+        cfg.epochs = 2
+        cfg.updates = 3
+        run(cfg)
+        # resume for 2 more epochs
+        cfg2 = _train_cfg(root, save_root)
+        cfg2.epochs = 4
+        cfg2.updates = 3
+        cfg2.resume = True
+        run(cfg2)
+        runs = sorted(os.listdir(os.path.join(save_root, "runs")))
+        rows = []
+        for r in runs:
+            p = os.path.join(save_root, "runs", r, "metrics.jsonl")
+            rows += [json.loads(l) for l in open(p)]
+        epochs = sorted(r["epoch"] for r in rows)
+        assert epochs == [0, 1, 2, 3]  # continued, not restarted
