@@ -55,7 +55,49 @@ def run(cfg, ch_ratios: float = 1.0, n_iter: int = 200):
     return acc, cat_wise
 
 
+def run_roi_onset_sweep(cfg, onsets=(0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4),
+                        duration: float = 0.2,
+                        roi_names=("occipital", "parietal", "frontal",
+                                   "temporal", "central"),
+                        n_iter: int = 200):
+    """ROI × onset-window sweep (reference main_meg_repetiton_roi,
+    examples/kamitani_regression.py:261-283): per region, slide a
+    ``duration``-long window across onsets and plot accuracy."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    results = {}
+    for roi_name in roi_names:
+        cfg.region = [f"{roi_name}/right", f"{roi_name}/left"]
+        accs = []
+        for start in onsets:
+            cfg.set_dotted("window.start", float(start))
+            cfg.set_dotted("window.end", float(start) + duration)
+            try:
+                acc, _ = run(cfg, n_iter=n_iter)
+            except KeyError:
+                continue  # region absent from ch_region.json
+            accs.append(acc)
+        if accs:
+            results[roi_name] = accs
+            plt.plot(onsets[: len(accs)], accs, label=roi_name)
+    plt.xlabel("onset [s]")
+    plt.ylabel("Acc")
+    plt.legend()
+    plt.title(f"{duration*1000:.0f} ms window")
+    out = os.path.join(cfg.get("save_root", "runs_out"),
+                       f"ridge_regression_{duration}s.png")
+    plt.savefig(out, bbox_inches="tight")
+    print("saved", out)
+    return results
+
+
 if __name__ == "__main__":
     cfg = parse_cli(default_config_name="config_GOD")
-    run(cfg, ch_ratios=float(cfg.get("ch_ratios", 1.0)),
-        n_iter=int(cfg.get("slir_n_iter", 200)))
+    if cfg.get("sweep") == "roi_onset":
+        run_roi_onset_sweep(cfg, n_iter=int(cfg.get("slir_n_iter", 200)))
+    else:
+        run(cfg, ch_ratios=float(cfg.get("ch_ratios", 1.0)),
+            n_iter=int(cfg.get("slir_n_iter", 200)))

@@ -69,3 +69,36 @@ class TestFusedClipLoss:
         loss, g = step(x, y, jnp.asarray(5.1))
         assert np.isfinite(float(loss))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestWindowGather:
+    """Pallas scalar-prefetch DMA window gather (interpret mode oracle)."""
+
+    def test_matches_host_slices(self):
+        from meg_decoding_tpu.ops.pallas.window_gather import (
+            pad_time_for_gather,
+            window_gather,
+        )
+
+        rng = np.random.RandomState(0)
+        T = pad_time_for_gather(900, 96)
+        src = rng.randn(5, 24, T).astype(np.float32)
+        rec_ids = np.array([4, 0, 2, 2, 1, 3])
+        onsets = np.array([0, 1, 127, 128, 555, 804])  # crosses lane bounds
+        out = np.asarray(window_gather(jnp.array(src), jnp.array(rec_ids),
+                                       jnp.array(onsets), 96, interpret=True))
+        expect = np.stack([src[r, :, o:o+96] for r, o in zip(rec_ids, onsets)])
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+
+    def test_out_of_range_onset_clamped(self):
+        from meg_decoding_tpu.ops.pallas.window_gather import (
+            pad_time_for_gather,
+            window_gather,
+        )
+
+        rng = np.random.RandomState(1)
+        T = pad_time_for_gather(500, 64)
+        src = rng.randn(2, 8, T).astype(np.float32)
+        out = np.asarray(window_gather(jnp.array(src), jnp.array([0]),
+                                       jnp.array([10**6]), 64, interpret=True))
+        assert np.all(np.isfinite(out))
