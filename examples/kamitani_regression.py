@@ -68,21 +68,26 @@ def run_roi_onset_sweep(cfg, onsets=(0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4)
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    import json as _json
+
+    with open(cfg.ch_region_path) as f:
+        known_regions = set(_json.load(f).keys())
+
     results = {}
     for roi_name in roi_names:
+        if roi_name not in known_regions:
+            print(f"[sweep] region {roi_name!r} not in ch_region.json — skipped")
+            continue
         cfg.region = [f"{roi_name}/right", f"{roi_name}/left"]
-        accs = []
+        xs, accs = [], []
         for start in onsets:
             cfg.set_dotted("window.start", float(start))
             cfg.set_dotted("window.end", float(start) + duration)
-            try:
-                acc, _ = run(cfg, n_iter=n_iter)
-            except KeyError:
-                continue  # region absent from ch_region.json
+            acc, _ = run(cfg, n_iter=n_iter)
+            xs.append(start)
             accs.append(acc)
-        if accs:
-            results[roi_name] = accs
-            plt.plot(onsets[: len(accs)], accs, label=roi_name)
+        results[roi_name] = dict(zip(xs, accs))
+        plt.plot(xs, accs, label=roi_name)
     plt.xlabel("onset [s]")
     plt.ylabel("Acc")
     plt.legend()

@@ -120,18 +120,9 @@ def run(cfg: Config) -> dict:
                        use_wandb=bool(cfg.get("use_wandb", False)),
                        wandb_cfg=cfg.get("wandb"))
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
-    start_epoch = 0
-    if cfg.get("resume", False) and ckpt.exists("model_last"):
-        state = ckpt.restore("model_last", state)
-        # epoch numbering continues from the logged history
-        import glob as _glob
+    from meg_decoding_tpu.train.loop import resume_if_requested
 
-        logs = sorted(_glob.glob(os.path.join(save_root, "runs", "*",
-                                              "metrics.jsonl")))
-        if logs:
-            start_epoch = sum(1 for _ in open(logs[-1]))
-        print(f"resumed from model_last at epoch {start_epoch} "
-              f"(step {int(state.step)})")
+    state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
 
     if cfg.get("use_scan_epochs", False) and not with_labels and mesh is None:
         # whole-epoch scan fast path (single-chip; labels/classification and
@@ -144,7 +135,8 @@ def run(cfg: Config) -> dict:
             updates=updates, batch_size=int(cfg.batch_size))
         state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
                                eval_step, logger, ckpt,
-                               seed=int(cfg.get("seed", 0)))
+                               seed=int(cfg.get("seed", 0)),
+                               start_epoch=start_epoch)
         return best
 
     state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,

@@ -94,8 +94,7 @@ def sentence_split(sentence_idxs: dict, split_ratio: float, seed: int = 0):
 
 
 def drop_overlapping_words(word_idxs: dict, other_idxs: dict,
-                           speech_onsets: dict, sentence_idxs: dict,
-                           seq_len_sec: float):
+                           speech_onsets: dict, seq_len_sec: float):
     """Drop words whose segment window leaks into the *other* split.
 
     The reference leaves this as a TODO stub (gwilliams2022.py:691-698:
@@ -277,9 +276,9 @@ def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,
         if cfg.get("drop_overlapping", False):
             seq_sec = float(pre.seq_len_sec)
             tr_idx = drop_overlapping_words(tr_idx, te_idx, speech_onsets,
-                                            sentence_idxs, seq_sec)
+                                            seq_sec)
             te_idx = drop_overlapping_words(te_idx, tr_idx, speech_onsets,
-                                            sentence_idxs, seq_sec)
+                                            seq_sec)
         splits = [tr_idx, te_idx]
     elif split_mode == "deep":
         tr_idx, te_idx = deep_split(speech_onsets, float(cfg.split_ratio))

@@ -85,6 +85,10 @@ def window_gather(src: jnp.ndarray, rec_ids: jnp.ndarray, onsets: jnp.ndarray,
     B = rec_ids.shape[0]
     C, T = src.shape[1], src.shape[2]
     W = padded_window(length)
+    if T < W:
+        raise ValueError(
+            f"src time axis {T} is too short for the aligned overfetch "
+            f"({W}); pad it with pad_time_for_gather(T, length) first")
     max_onset = T - W  # aligned fetch must stay in bounds
     onsets = jnp.clip(onsets.astype(jnp.int32), 0, max_onset)
 

@@ -23,7 +23,7 @@ from meg_decoding_tpu.train.checkpoint import CheckpointManager
 from meg_decoding_tpu.utils.logging import RunLogger
 from meg_decoding_tpu.utils.profiling import StepTimer, profile_trace
 
-__all__ = ["fit", "fit_scan"]
+__all__ = ["fit", "fit_scan", "resume_if_requested"]
 
 
 def _mean_metrics(history: list[dict]) -> dict:
@@ -72,7 +72,7 @@ def fit(
     else:
         test_shard_fn = None  # tiny test set: run it unsharded
 
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     best_top10 = -1.0
     best_metrics: dict = {}
     timer = StepTimer()
@@ -80,7 +80,9 @@ def fit(
     profile_epoch = int(cfg.get("profile_epoch", 1)) if profile_dir else -1
 
     for epoch in range(start_epoch, epochs):
-        key, ekey, tkey = jax.random.split(jax.random.fold_in(key, epoch), 3)
+        # derived purely from (seed, epoch) so a resumed run samples the
+        # exact batches the continuous run would have
+        ekey, tkey = jax.random.split(jax.random.fold_in(base_key, epoch))
         if use_sampler:
             idx_epoch = np.asarray(
                 sample_with_replacement(ekey, len(train_set), updates, batch_size)
@@ -147,6 +149,28 @@ def fit(
     return state, best_metrics
 
 
+def resume_if_requested(cfg, ckpt, state, save_root: str):
+    """Shared resume logic for the CLI trainers: restore model_last and
+    continue epoch numbering at (max logged epoch)+1 across ALL prior run
+    logs (each invocation writes a fresh runs/<ts>/metrics.jsonl)."""
+    import glob
+    import json as _json
+    import os
+
+    if not (cfg.get("resume", False) and ckpt is not None
+            and ckpt.exists("model_last")):
+        return state, 0
+    state = ckpt.restore("model_last", state)
+    last_epoch = -1
+    for log in glob.glob(os.path.join(save_root, "runs", "*", "metrics.jsonl")):
+        for line in open(log):
+            last_epoch = max(last_epoch, int(_json.loads(line).get("epoch", -1)))
+    start_epoch = last_epoch + 1
+    print(f"resumed from model_last at epoch {start_epoch} "
+          f"(step {int(state.step)})")
+    return state, start_epoch
+
+
 def fit_scan(
     cfg,
     train_set,
@@ -157,16 +181,17 @@ def fit_scan(
     logger: RunLogger,
     ckpt: Optional[CheckpointManager] = None,
     seed: int = 0,
+    start_epoch: int = 0,
 ):
     """Epoch driver over whole-epoch scan programs (train/scan_loop.py):
     one device call per epoch, then the usual test pass + logging + ckpt."""
     epochs = int(cfg.epochs)
     test_size = min(len(test_set), int(cfg.get("test_size", cfg.batch_size)))
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     best_top10, best_metrics = -1.0, {}
 
-    for epoch in range(epochs):
-        key, ekey, tkey = jax.random.split(key, 3)
+    for epoch in range(start_epoch, epochs):
+        ekey, tkey = jax.random.split(jax.random.fold_in(base_key, epoch))
         state, tm = scan_epoch(state, ekey)
         tm = {k: float(v) for k, v in tm.items()}
 

@@ -162,16 +162,21 @@ class TestResume:
         cfg.epochs = 2
         cfg.updates = 3
         run(cfg)
-        # resume for 2 more epochs
-        cfg2 = _train_cfg(root, save_root)
-        cfg2.epochs = 4
-        cfg2.updates = 3
-        cfg2.resume = True
-        run(cfg2)
+        # resume twice: epoch numbering must continue across BOTH resumes
+        # (each invocation writes a fresh runs/<ts>/metrics.jsonl)
+        import time as _time
+
+        for total in (4, 6):
+            _time.sleep(1.1)  # distinct run-dir timestamps
+            cfg2 = _train_cfg(root, save_root)
+            cfg2.epochs = total
+            cfg2.updates = 3
+            cfg2.resume = True
+            run(cfg2)
         runs = sorted(os.listdir(os.path.join(save_root, "runs")))
         rows = []
         for r in runs:
             p = os.path.join(save_root, "runs", r, "metrics.jsonl")
             rows += [json.loads(l) for l in open(p)]
         epochs = sorted(r["epoch"] for r in rows)
-        assert epochs == [0, 1, 2, 3]  # continued, not restarted
+        assert epochs == [0, 1, 2, 3, 4, 5]  # continued, never repeated

@@ -200,10 +200,6 @@ class TestClassificationLabelOffset:
     def test_one_indexed_labels_align_with_gallery(self):
         """GOD vec_index is 1-indexed; label_offset=1 must make the
         classification loss reward predictions matching gallery[label-1]."""
-        import optax
-
-        from meg_decoding_tpu.train.steps import make_eval_step
-
         rng = np.random.RandomState(0)
         G, F_ = 10, 8
         gallery = rng.randn(G, F_).astype(np.float32)
@@ -211,10 +207,6 @@ class TestClassificationLabelOffset:
         # predictions exactly equal to the labelled gallery rows
         Z_src = gallery[labels - 1]
 
-        model = LinearEncoder(scp=True, out_dim=F_)
-        # identity-ish setup: feed Z through a linear layer is awkward; instead
-        # call the loss path directly via the eval step with X s.t. model(X)=Z
-        # → use a model-free check through _compute_loss instead:
         from meg_decoding_tpu.train.steps import LossConfig, _compute_loss
 
         good = float(_compute_loss(

@@ -210,7 +210,7 @@ class TestDropOverlapping:
 
         cfg, (x, y, mo, so, sent) = gw
         tr, te = sentence_split(sent, 0.8, seed=0)
-        tr2 = drop_overlapping_words(tr, te, so, sent, seq_len_sec=3.0)
+        tr2 = drop_overlapping_words(tr, te, so, seq_len_sec=3.0)
         for task in so:
             onsets = np.asarray(so[task])
             te_onsets = np.sort(onsets[te[task]])
