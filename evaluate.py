@@ -1,13 +1,19 @@
 """Evaluation entry point (reference-compatible name, Hydra-style config).
 
 Reference: ``evaluate.py`` (GOD zero-shot classification + pairwise
-identification).  Usage:
+identification); speech datasets get a standalone checkpoint evaluator the
+reference lacks (it only scores in-loop).  Usage:
 
     python evaluate.py --config-name config_GOD save_root=runs_out
+    python evaluate.py dataset=Gwilliams2022 save_root=runs_out
 """
 
-from meg_decoding_tpu.cli.evaluate_god import run
 from meg_decoding_tpu.cli.main import parse_cli
 
 if __name__ == "__main__":
-    run(parse_cli(default_config_name="config_GOD"))
+    cfg = parse_cli(default_config_name="config_GOD")
+    if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
+        from meg_decoding_tpu.cli.evaluate_speech import run
+    else:
+        from meg_decoding_tpu.cli.evaluate_god import run
+    run(cfg)

@@ -1,6 +1,8 @@
 """Speech-path tests: Gwilliams packed dataset + splits + gather, Brennan
 builder chain, wav2vec embedding shapes, and e2e training on both datasets."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -220,3 +222,21 @@ class TestDropOverlapping:
                 assert not inside.any()
             # kept set is a subset of the original
             assert set(tr2[task]).issubset(set(tr[task]))
+
+
+class TestSpeechEvaluate:
+    def test_checkpoint_evaluation(self, gw, tmp_path):
+        cfg, _ = gw
+        cfg = TestSpeechE2E()._speech_cfg(cfg, str(tmp_path / "out"))
+        cfg.seq2seq = True
+        cfg.data_parallel = False
+        from meg_decoding_tpu.cli.train_speech import run as train_run
+
+        train_run(cfg)
+        from meg_decoding_tpu.cli.evaluate_speech import run as eval_run
+
+        results = eval_run(cfg)
+        for k in ("test_top1", "test_top10", "pairwise_correlation"):
+            assert np.isfinite(results[k])
+        assert results["n_test_segments"] > 0
+        assert os.path.exists(str(tmp_path / "out" / "eval_results.json"))
