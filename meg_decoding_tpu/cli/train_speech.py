@@ -222,6 +222,43 @@ def run(cfg: Config) -> dict:
     state = replicate_fn(state)
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg)
+    if (cfg.dataset == "Gwilliams2022" and mesh is None
+            and bool(cfg.get("fuse_gather", True))
+            and isinstance(train_set.ds, GwilliamsPacked)):
+        # single-dispatch gather+step (train/scan_loop.py)
+        from meg_decoding_tpu.train.scan_loop import make_fused_speech_step
+
+        fused = make_fused_speech_step(model, optimizer, loss_cfg, collate_cfg,
+                                       train_set.ds)
+        seg_table = jnp.asarray(train_set.ds.segment_table())
+        base_key = jax.random.PRNGKey(seed + 17)
+        call_counter = {"n": 0}
+        indices = getattr(train_set, "indices", None)
+
+        class _FusedLoader:
+            """gather() returns raw segment ids; the 'step' does the gather."""
+
+            num_subjects = train_set.num_subjects
+
+            def __len__(self):
+                return len(train_set)
+
+            def gather(self, idx):
+                idx = np.asarray(idx)
+                if indices is not None:
+                    idx = indices[idx]
+                return (jnp.asarray(idx),)
+
+        def fused_step(state, idx):
+            key = jax.random.fold_in(base_key, call_counter["n"])
+            call_counter["n"] += 1
+            return fused(state, seg_table[idx], key)
+
+        train_set_for_fit = _FusedLoader()
+        train_step_for_fit = lambda state, idx: fused_step(state, idx)
+    else:
+        train_set_for_fit = train_set
+        train_step_for_fit = train_step
 
     logger = RunLogger(save_root, run_name=cfg.get("run_name"),
                        use_wandb=bool(cfg.get("use_wandb", False)),
@@ -230,7 +267,8 @@ def run(cfg: Config) -> dict:
     from meg_decoding_tpu.train.loop import resume_if_requested
 
     state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
-    state, best = fit(cfg, train_set, test_set, state, train_step, eval_step,
+    state, best = fit(cfg, train_set_for_fit, test_set, state,
+                      train_step_for_fit, eval_step,
                       logger, ckpt, seed=seed, shard_fn=shard_fn,
                       batch_multiple=(mesh.shape["data"] if mesh else 1),
                       start_epoch=start_epoch)

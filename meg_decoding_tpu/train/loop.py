@@ -102,8 +102,8 @@ def fit(
                         X, Y, subs, labels = batch
                         state, metrics = train_step(state, X, Y, subs, labels)
                     else:
-                        X, Y, subs = batch[:3]
-                        state, metrics = train_step(state, X, Y, subs)
+                        # arity-generic: fused loaders yield (segment_ids,)
+                        state, metrics = train_step(state, *batch[:3])
                 train_hist.append(metrics)
 
         # test pass: one batch of size test_size, sampled without replacement
