@@ -84,10 +84,26 @@ def baseline_correct(X: jnp.ndarray, baseline_len_samp: int) -> jnp.ndarray:
 def epoch_slice(x: jnp.ndarray, onsets: jnp.ndarray, length: int) -> jnp.ndarray:
     """Gather fixed-length windows: x (C, T), onsets (N,) → (N, C, length).
 
-    One advanced gather — XLA lowers this to an efficient dynamic-gather; it
-    replaces the reference's Python epoching loop (``god.py:102-107``).
-    Out-of-range onsets are clipped to the valid range (XLA gather clamps).
+    Replaces the reference's Python epoching loop (``god.py:102-107``).  On
+    TPU this routes through the Pallas DMA window-gather kernel (XLA lowers
+    data-dependent window gathers to pathologically slow general gathers —
+    see ``ops/pallas/window_gather.py``); elsewhere it is one advanced
+    gather.  Out-of-range onsets are clipped to the valid range.
     """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from meg_decoding_tpu.ops.pallas.window_gather import (
+            pad_time_for_gather,
+            window_gather,
+        )
+
+        T = x.shape[-1]
+        Tp = pad_time_for_gather(T, length)
+        xp = jnp.pad(x, ((0, 0), (0, Tp - T)))[None]  # (1, C, Tp)
+        rec_ids = jnp.zeros(onsets.shape[0], jnp.int32)
+        return window_gather(xp, rec_ids, onsets, length, interpret=False)
+
     idx = onsets[:, None] + jnp.arange(length)[None, :]  # (N, length)
     return jnp.take(x, idx, axis=-1).transpose(1, 0, 2)  # (C,N,L) → (N,C,L)
 

@@ -240,3 +240,30 @@ class TestSpeechEvaluate:
             assert np.isfinite(results[k])
         assert results["n_test_segments"] > 0
         assert os.path.exists(str(tmp_path / "out" / "eval_results.json"))
+
+
+class TestFusedGatherPath:
+    def test_single_chip_fused_step_trains(self, gw, tmp_path):
+        """data_parallel=False engages the single-dispatch fused gather+step
+        (_FusedLoader); must train and log like the classic path."""
+        cfg, _ = gw
+        cfg = TestSpeechE2E()._speech_cfg(cfg, str(tmp_path / "out"))
+        cfg.seq2seq = True
+        cfg.data_parallel = False
+        cfg.fuse_gather = True
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        assert best.get("test_top10", 0) > 0
+
+    def test_fused_matches_unfused_distribution(self, gw, tmp_path):
+        cfg, _ = gw
+        cfg2 = TestSpeechE2E()._speech_cfg(cfg, str(tmp_path / "out2"))
+        cfg2.seq2seq = True
+        cfg2.data_parallel = False
+        cfg2.fuse_gather = False
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg2)
+        assert np.isfinite(best.get("train_loss", np.nan))
