@@ -75,10 +75,13 @@ def run(cfg: Config) -> dict:
     # (the retrieval metric's difficulty scales with the pool size; the
     # reference uses one pool of test_size per epoch, train.py:223-245)
     pool = min(len(test_set), int(cfg.get("test_size", cfg.batch_size)))
-    n_pools = max(len(test_set) // pool, 1)
+    n_pools = max(-(-len(test_set) // pool), 1)  # ceil: cover the tail
     top1s, top10s, pids = [], [], []
     for p in range(n_pools):
-        idx = np.arange(p * pool, (p + 1) * pool)
+        # the final pool overlaps backwards to keep static shapes while
+        # covering every segment
+        start = min(p * pool, len(test_set) - pool)
+        idx = np.arange(start, start + pool)
         X, Y, subs = test_set.gather(idx)[:3]
         Z = fwd(state.params, state.batch_stats, X, subs)
         acc = retrieval_accuracy(Z, Y, top_ks=(1, 10))

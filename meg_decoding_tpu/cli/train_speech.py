@@ -230,7 +230,6 @@ def run(cfg: Config) -> dict:
 
         fused = make_fused_speech_step(model, optimizer, loss_cfg, collate_cfg,
                                        train_set.ds)
-        seg_table = jnp.asarray(train_set.ds.segment_table())
         base_key = jax.random.PRNGKey(seed + 17)
         call_counter = {"n": 0}
         indices = getattr(train_set, "indices", None)
@@ -252,7 +251,7 @@ def run(cfg: Config) -> dict:
         def fused_step(state, idx):
             key = jax.random.fold_in(base_key, call_counter["n"])
             call_counter["n"] += 1
-            return fused(state, seg_table[idx], key)
+            return fused(state, idx, key)
 
         train_set_for_fit = _FusedLoader()
         train_step_for_fit = lambda state, idx: fused_step(state, idx)
@@ -267,6 +266,22 @@ def run(cfg: Config) -> dict:
     from meg_decoding_tpu.train.loop import resume_if_requested
 
     state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
+    if (cfg.get("use_scan_epochs", False) and mesh is None
+            and isinstance(train_set.ds, GwilliamsPacked)
+            and getattr(train_set, "indices", None) is None):
+        # whole-epoch scan fast path (sentence/deep splits: the packed set IS
+        # the training split; shallow subsets need the per-step driver)
+        from meg_decoding_tpu.train.loop import fit_scan
+        from meg_decoding_tpu.train.scan_loop import make_gwilliams_scan_epoch
+
+        scan_epoch = make_gwilliams_scan_epoch(
+            model, optimizer, loss_cfg, collate_cfg, train_set.ds,
+            updates=updates, batch_size=int(cfg.batch_size))
+        state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
+                               eval_step, logger, ckpt, seed=seed,
+                               start_epoch=start_epoch)
+        return best
+
     state, best = fit(cfg, train_set_for_fit, test_set, state,
                       train_step_for_fit, eval_step,
                       logger, ckpt, seed=seed, shard_fn=shard_fn,

@@ -88,9 +88,11 @@ def epoch_slice(x: jnp.ndarray, onsets: jnp.ndarray, length: int) -> jnp.ndarray
     TPU this routes through the Pallas DMA window-gather kernel (XLA lowers
     data-dependent window gathers to pathologically slow general gathers —
     see ``ops/pallas/window_gather.py``); elsewhere it is one advanced
-    gather.  Out-of-range onsets are clipped to the valid range.
+    gather.  Onsets are clamped to [0, T-length] (a window overhanging the
+    recording end shifts left into range) — identical on both backends.
     """
-    import jax
+    T = x.shape[-1]
+    onsets = jnp.clip(onsets.astype(jnp.int32), 0, max(T - length, 0))
 
     if jax.default_backend() == "tpu":
         from meg_decoding_tpu.ops.pallas.window_gather import (
@@ -98,7 +100,6 @@ def epoch_slice(x: jnp.ndarray, onsets: jnp.ndarray, length: int) -> jnp.ndarray
             window_gather,
         )
 
-        T = x.shape[-1]
         Tp = pad_time_for_gather(T, length)
         xp = jnp.pad(x, ((0, 0), (0, Tp - T)))[None]  # (1, C, Tp)
         rec_ids = jnp.zeros(onsets.shape[0], jnp.int32)

@@ -44,20 +44,24 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
     step = make_train_step(model, optimizer, loss_cfg, collate_cfg, donate=False)
     n_sessions = int(ds.recordings.shape[0])
     seq_len = int(ds.seq_len)
+    seg_table = jnp.asarray(ds.segment_table())
 
     @partial(jax.jit, donate_argnums=(0,))
-    def _fused(state, seg_rows, key, recordings, y_stream, meg_onsets,
+    def _fused(state, idx, key, seg_table, recordings, y_stream, meg_onsets,
                speech_onsets, session_subject):
-        sess = jax.random.randint(key, (seg_rows.shape[0],), 0, n_sessions)
+        seg_rows = seg_table[idx]  # indexed inside the single program
+        sess = jax.random.randint(key, (idx.shape[0],), 0, n_sessions)
         X, Y, subs = _gather_batch(
             recordings, y_stream, meg_onsets, speech_onsets, session_subject,
             seg_rows[:, 0], seg_rows[:, 1], sess, seq_len,
         )
         return step(state, X, Y, subs)
 
-    def fused(state, seg_rows, key):
-        return _fused(state, seg_rows, key, ds.recordings, ds.y_stream,
-                      ds.meg_onsets, ds.speech_onsets, ds.session_subject)
+    def fused(state, idx, key):
+        """idx: (B,) global segment ids (host or device ints)."""
+        return _fused(state, jnp.asarray(idx), key, seg_table, ds.recordings,
+                      ds.y_stream, ds.meg_onsets, ds.speech_onsets,
+                      ds.session_subject)
 
     return fused
 

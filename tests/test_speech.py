@@ -257,13 +257,61 @@ class TestFusedGatherPath:
         assert np.isfinite(best.get("train_loss", np.nan))
         assert best.get("test_top10", 0) > 0
 
-    def test_fused_matches_unfused_distribution(self, gw, tmp_path):
-        cfg, _ = gw
-        cfg2 = TestSpeechE2E()._speech_cfg(cfg, str(tmp_path / "out2"))
-        cfg2.seq2seq = True
-        cfg2.data_parallel = False
-        cfg2.fuse_gather = False
-        from meg_decoding_tpu.cli.train_speech import run
+    def test_fused_step_equals_manual_gather_plus_step(self, gw):
+        """The fused single-program step must produce bit-identical results
+        to gathering with the same key and stepping separately."""
+        import optax
 
-        best = run(cfg2)
-        assert np.isfinite(best.get("train_loss", np.nan))
+        from meg_decoding_tpu.data.gwilliams import (
+            _gather_batch,
+            build_gwilliams_dataset,
+            load_gwilliams_cache,
+        )
+        from meg_decoding_tpu.data.layout import (
+            normalize_locations,
+            synthetic_cap_locations,
+        )
+        from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+        from meg_decoding_tpu.train.scan_loop import make_fused_speech_step
+        from meg_decoding_tpu.train.state import create_train_state
+        from meg_decoding_tpu.train.steps import (
+            CollateConfig,
+            LossConfig,
+            make_train_step,
+        )
+
+        cfg, raw = gw
+        cfg.seq2seq = True
+        ds = build_gwilliams_dataset(cfg, *raw, split_mode="shallow")
+        loc = normalize_locations(synthetic_cap_locations(12))
+        model = BrainEncoder(loc=loc, num_subjects=ds.num_subjects, D1=8,
+                             D2=12, F=16, K=3, seq2seq=True)
+        opt = optax.adam(1e-3)
+        lc = LossConfig(kind="clip")
+        cc = CollateConfig(baseline_len_samp=60, clamp_lim=20.0)
+        seg = jnp.asarray(ds.segment_table())
+        idx = jnp.arange(8)
+        key = jax.random.PRNGKey(5)
+
+        # manual: replicate the fused step's internal sampling exactly
+        sess = jax.random.randint(key, (8,), 0, ds.recordings.shape[0])
+        X, Y, subs = _gather_batch(ds.recordings, ds.y_stream, ds.meg_onsets,
+                                   ds.speech_onsets, ds.session_subject,
+                                   seg[idx][:, 0], seg[idx][:, 1], sess,
+                                   ds.seq_len)
+        state0 = create_train_state(model, opt, (X, Y, subs),
+                                    jax.random.PRNGKey(0))
+        step = make_train_step(model, opt, lc, cc, donate=False)
+        manual_state, manual_m = step(state0, X, Y, subs)
+
+        state0b = create_train_state(model, opt, (X, Y, subs),
+                                     jax.random.PRNGKey(0))
+        fused = make_fused_speech_step(model, opt, lc, cc, ds)
+        fused_state, fused_m = fused(state0b, idx, key)
+
+        assert float(fused_m["loss"]) == pytest.approx(float(manual_m["loss"]),
+                                                       rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(fused_state.params),
+                        jax.tree_util.tree_leaves(manual_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
