@@ -48,7 +48,6 @@ def _loss_config(cfg) -> LossConfig:
         kind=kind,
         reduction=cfg.get("reduction", "mean"),
         same_label_weight=float(cfg.select("loss.same_label_weight", 0.0)),
-        fused=bool(cfg.select("loss.fused", False)),
         l2_weight=float(cfg.get("l2_weight", 0.0)),
         criterion=cfg.get("criterion", "crossentropy"),
         smooth_value=float(cfg.get("smooth_value", 0.1)),

@@ -53,7 +53,14 @@ class _SpeechLoader:
     """Adapter giving GwilliamsPacked/BrennanPacked the ``gather(idx)``
     interface the epoch driver expects, with deterministic per-call PRNG for
     the random subject/session pairing (reference gwilliams2022.py:134,
-    brennan2018.py:148)."""
+    brennan2018.py:148).
+
+    ``stochastic = True`` tells the epoch driver to pass an explicit ``key``
+    derived from (seed, epoch, step) so a resumed run replays exactly the
+    batches a continuous run would have; the in-process call counter is only
+    a fallback for direct/interactive calls."""
+
+    stochastic = True
 
     def __init__(self, ds, seed: int = 0):
         self.ds = ds
@@ -64,9 +71,10 @@ class _SpeechLoader:
     def __len__(self):
         return len(self.ds)
 
-    def gather(self, idx):
-        key = jax.random.fold_in(self.base_key, self._n_calls)
-        self._n_calls += 1
+    def gather(self, idx, key=None):
+        if key is None:
+            key = jax.random.fold_in(self.base_key, self._n_calls)
+            self._n_calls += 1
         if isinstance(self.ds, GwilliamsPacked):
             X, Y, subs, seg_ids = gather_speech_batch(self.ds, idx, key)
             return X, Y, subs
@@ -114,8 +122,8 @@ class _SubsetLoader(_SpeechLoader):
     def __len__(self):
         return len(self.indices)
 
-    def gather(self, idx):
-        return super().gather(self.indices[np.asarray(idx)])
+    def gather(self, idx, key=None):
+        return super().gather(self.indices[np.asarray(idx)], key=key)
 
 
 def _load_brennan(cfg, seed):
@@ -210,8 +218,7 @@ def run(cfg: Config) -> dict:
         enabled=cfg.dataset == "Gwilliams2022",
     )
     loss_cfg = LossConfig(kind=cfg.select("loss.kind", "clip"),
-                          reduction=cfg.get("reduction", "mean"),
-                          fused=bool(cfg.select("loss.fused", False)))
+                          reduction=cfg.get("reduction", "mean"))
 
     updates = int(cfg.get("updates", 1200))
     optimizer = make_optimizer(cfg, updates)
@@ -220,41 +227,50 @@ def run(cfg: Config) -> dict:
                                init_temperature=float(cfg.get("init_temperature", 5.1)))
     mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
     state = replicate_fn(state)
-    train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg)
+    train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
+                                 mesh=mesh)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg)
-    if (cfg.dataset == "Gwilliams2022" and mesh is None
+    fused_engaged = False
+    if (cfg.dataset == "Gwilliams2022"
             and bool(cfg.get("fuse_gather", True))
             and isinstance(train_set.ds, GwilliamsPacked)):
-        # single-dispatch gather+step (train/scan_loop.py)
+        # single-dispatch gather+step (train/scan_loop.py); under a mesh the
+        # recordings are session-sharded and the gather runs in shard_map
         from meg_decoding_tpu.train.scan_loop import make_fused_speech_step
 
         fused = make_fused_speech_step(model, optimizer, loss_cfg, collate_cfg,
-                                       train_set.ds)
+                                       train_set.ds, mesh=mesh)
+        if mesh is not None:
+            # drop the unsharded packed arrays (the sharded copy made by
+            # make_fused_speech_step is the one that lives in HBM)
+            train_set.ds = fused.ds
+        fused_engaged = True
         base_key = jax.random.PRNGKey(seed + 17)
         call_counter = {"n": 0}
         indices = getattr(train_set, "indices", None)
 
         class _FusedLoader:
-            """gather() returns raw segment ids; the 'step' does the gather."""
+            """gather() returns (segment ids, pairing key); the 'step' does
+            the gather.  The epoch driver supplies a (seed, epoch, step)-
+            derived key (stochastic protocol) so resume is deterministic."""
 
+            stochastic = True
             num_subjects = train_set.num_subjects
 
             def __len__(self):
                 return len(train_set)
 
-            def gather(self, idx):
+            def gather(self, idx, key=None):
                 idx = np.asarray(idx)
                 if indices is not None:
                     idx = indices[idx]
-                return (jnp.asarray(idx),)
-
-        def fused_step(state, idx):
-            key = jax.random.fold_in(base_key, call_counter["n"])
-            call_counter["n"] += 1
-            return fused(state, idx, key)
+                if key is None:  # direct-call fallback only
+                    key = jax.random.fold_in(base_key, call_counter["n"])
+                    call_counter["n"] += 1
+                return jnp.asarray(idx), key
 
         train_set_for_fit = _FusedLoader()
-        train_step_for_fit = lambda state, idx: fused_step(state, idx)
+        train_step_for_fit = lambda state, idx, key: fused(state, idx, key)
     else:
         train_set_for_fit = train_set
         train_step_for_fit = train_step
@@ -266,17 +282,20 @@ def run(cfg: Config) -> dict:
     from meg_decoding_tpu.train.loop import resume_if_requested
 
     state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
-    if (cfg.get("use_scan_epochs", False) and mesh is None
+    if (cfg.get("use_scan_epochs", False)
             and isinstance(train_set.ds, GwilliamsPacked)
             and getattr(train_set, "indices", None) is None):
         # whole-epoch scan fast path (sentence/deep splits: the packed set IS
-        # the training split; shallow subsets need the per-step driver)
+        # the training split; shallow subsets need the per-step driver);
+        # runs sharded over the mesh when one is active
         from meg_decoding_tpu.train.loop import fit_scan
         from meg_decoding_tpu.train.scan_loop import make_gwilliams_scan_epoch
 
+        n_data = mesh.shape["data"] if mesh else 1
+        bs = max((int(cfg.batch_size) // n_data) * n_data, n_data)
         scan_epoch = make_gwilliams_scan_epoch(
             model, optimizer, loss_cfg, collate_cfg, train_set.ds,
-            updates=updates, batch_size=int(cfg.batch_size))
+            updates=updates, batch_size=bs, mesh=mesh)
         state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
                                eval_step, logger, ckpt, seed=seed,
                                start_epoch=start_epoch)
@@ -284,7 +303,8 @@ def run(cfg: Config) -> dict:
 
     state, best = fit(cfg, train_set_for_fit, test_set, state,
                       train_step_for_fit, eval_step,
-                      logger, ckpt, seed=seed, shard_fn=shard_fn,
+                      logger, ckpt, seed=seed,
+                      shard_fn=None if fused_engaged else shard_fn,
                       batch_multiple=(mesh.shape["data"] if mesh else 1),
                       start_epoch=start_epoch)
     return best

@@ -201,6 +201,71 @@ def _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
     return X, Y, session_subject[sess_ids]
 
 
+def pad_sessions(ds: GwilliamsPacked, multiple: int) -> GwilliamsPacked:
+    """Pad the sessions axis to a multiple of ``multiple`` by cyclically
+    repeating sessions, so recordings can be sharded evenly over the mesh's
+    data axis.
+
+    Known deviation (PARITY.md): a repeated session appears twice in the
+    random subject-session pairing pool, so its pairing probability is
+    2/S_pad instead of 1/S (e.g. 2/56 vs 1/54 at full Gwilliams scale on 8
+    chips) — the pairing is a training-time augmentation
+    (gwilliams2022.py:134), not a labeled quantity, so this only perturbs
+    sampling weights slightly.
+    """
+    S = int(ds.recordings.shape[0])
+    pad = (-S) % multiple
+    if pad == 0:
+        return ds
+    extra = np.arange(pad) % S
+    take = np.concatenate([np.arange(S), extra])
+    return GwilliamsPacked(
+        recordings=jnp.asarray(np.asarray(ds.recordings)[take]),
+        y_stream=ds.y_stream,
+        meg_onsets=jnp.asarray(np.asarray(ds.meg_onsets)[take]),
+        speech_onsets=ds.speech_onsets,
+        n_words=ds.n_words,
+        session_subject=jnp.asarray(np.asarray(ds.session_subject)[take]),
+        seq_len=ds.seq_len,
+        num_subjects=ds.num_subjects,
+    )
+
+
+def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
+                       speech_onsets, session_subject, seg_table,
+                       seq_len: int, axis_name: str = "data"):
+    """Per-device half of the sharded batch gather, for use inside
+    ``shard_map``: recordings/meg_onsets are sharded over sessions (axis 0),
+    everything else replicated.
+
+    Each device pairs its ``B_local`` segments with sessions drawn uniformly
+    from ITS OWN session shard (key folded with the device index).  With
+    equal shards the session marginal stays uniform over all sessions, so
+    the sampling distribution matches the unsharded
+    ``gather_speech_batch`` (reference ``__getitem__`` pairing,
+    gwilliams2022.py:134) exactly.
+    """
+    from meg_decoding_tpu.ops.pallas.window_gather import window_gather
+
+    d = jax.lax.axis_index(axis_name)
+    S_local, NT, C, T = rec_local.shape
+    rows = seg_table[idx_local]
+    task_ids, i_in_task = rows[:, 0], rows[:, 1]
+    k = jax.random.fold_in(key, d)
+    sess_local = jax.random.randint(k, (idx_local.shape[0],), 0, S_local)
+
+    rec_flat = rec_local.reshape(S_local * NT, C, T)
+    rec_ids = sess_local * NT + task_ids
+    x_onsets = meg_onsets_local[sess_local, task_ids, i_in_task]
+    X = window_gather(rec_flat, rec_ids, x_onsets, seq_len)
+
+    y_onsets = speech_onsets[task_ids, i_in_task]
+    Y = window_gather(y_stream, task_ids, y_onsets, seq_len)
+
+    subs = session_subject[d * S_local + sess_local]
+    return X, Y, subs
+
+
 def gather_speech_batch(ds: GwilliamsPacked, segment_ids: np.ndarray, key):
     """Batch = segments by global id + a random session each (reproducing
     ``__getitem__``'s random subject-session pairing, :130-143)."""

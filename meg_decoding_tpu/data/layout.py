@@ -12,20 +12,31 @@ MNE is not available in this image, so layouts resolve in priority order:
 
 1. ``cfg.layout_csv`` — explicit CSV of per-channel coordinates (2 or 3 cols).
 2. GOD — ``cfg.montage_path`` CSV (same format as the reference's
-   ``montage.csv``) filtered to the ROI channels.
-3. Brennan / Gwilliams without a CSV — a deterministic synthetic cap layout
-   (concentric rings over the scalp disc).  This preserves the *structure*
-   (smooth 2-D geometry for the Fourier attention basis) but not MNE's exact
-   coordinates; pass ``layout_csv`` exported from MNE for exact parity.
+   ``montage.csv``) filtered to the ROI channels; falls back to the packaged
+   copy of the real Ricoh montage (``data/layouts/god_montage.csv``).
+3. Brennan — packaged easycap-M10 coordinates
+   (``data/layouts/easycap_M10.csv``): a geometric RECONSTRUCTION of the
+   61-electrode equidistant montage (rings of 1/6/12/18/24 electrodes at
+   equidistant inclinations, azimuthal-equidistant projected like MNE's
+   ``find_layout``), minus broken channel 29 (reference ``layout.py:16-18``).
+   Regenerate with exact MNE values via ``scripts/export_mne_layouts.py`` on
+   a machine with MNE installed.
+4. Anything else without a CSV — a deterministic synthetic cap layout
+   (Vogel spiral over the scalp disc), structure-preserving only.
 """
 
 from __future__ import annotations
 
 import csv
+import os
+import warnings
 
 import numpy as np
 
-__all__ = ["ch_locations_2d", "normalize_locations", "synthetic_cap_locations"]
+__all__ = ["ch_locations_2d", "easycap_m10_locations", "normalize_locations",
+           "synthetic_cap_locations"]
+
+LAYOUTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "layouts")
 
 
 def normalize_locations(loc: np.ndarray) -> np.ndarray:
@@ -59,6 +70,12 @@ def _read_csv_coords(path: str) -> np.ndarray:
     return np.asarray(rows, dtype=np.float32)
 
 
+def easycap_m10_locations() -> np.ndarray:
+    """Packaged (61, 2) easycap-M10 coordinates (see module docstring:
+    geometric reconstruction unless regenerated from MNE)."""
+    return _read_csv_coords(os.path.join(LAYOUTS_DIR, "easycap_M10.csv"))
+
+
 def ch_locations_2d(cfg, roi_channels: list[int] | None = None) -> np.ndarray:
     """Resolve normalized (C, 2) sensor coordinates for ``cfg.dataset``."""
     explicit = cfg.get("layout_csv") if hasattr(cfg, "get") else None
@@ -70,7 +87,10 @@ def ch_locations_2d(cfg, roi_channels: list[int] | None = None) -> np.ndarray:
 
     dataset = cfg.dataset
     if dataset == "GOD":
-        montage = _read_csv_coords(cfg.montage_path)  # (C, 3)
+        montage_path = cfg.get("montage_path") if hasattr(cfg, "get") else None
+        if not (montage_path and os.path.exists(montage_path)):
+            montage_path = os.path.join(LAYOUTS_DIR, "god_montage.csv")
+        montage = _read_csv_coords(montage_path)  # (C, 3)
         if roi_channels is None:
             from meg_decoding_tpu.data.roi import roi as _roi
 
@@ -81,12 +101,18 @@ def ch_locations_2d(cfg, roi_channels: list[int] | None = None) -> np.ndarray:
     if dataset == "Brennan2018":
         # easycap-M10 is a 61-electrode equidistant cap; reference drops
         # broken channel 29 → 60 channels (layout.py:16-18).  A different
-        # ``num_channels`` (e.g. synthetic data) skips the deletion.
+        # ``num_channels`` (e.g. synthetic data) falls back to a synthetic
+        # cap of that size.
         num = int(cfg.get("num_channels", 60) or 60)
-        if num == 60:
-            loc = synthetic_cap_locations(61)
-            loc = np.delete(loc, 28, axis=0)
+        if num in (60, 61):
+            loc = easycap_m10_locations()
+            if num == 60:
+                loc = np.delete(loc, 28, axis=0)
         else:
+            warnings.warn(
+                f"Brennan layout requested for {num} channels — the easycap "
+                "M10 montage has 61; using a synthetic cap (accuracy parity "
+                "needs real geometry)")
             loc = synthetic_cap_locations(num)
         return normalize_locations(loc)
 

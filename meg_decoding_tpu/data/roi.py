@@ -8,13 +8,22 @@ region → sub-region → 1-indexed channel lists, converting to 0-indexed.
 from __future__ import annotations
 
 import json
+import os
 
 __all__ = ["roi"]
 
 
 def roi(cfg) -> list[int]:
-    """Resolve ``cfg.region`` strings to 0-indexed channel indices."""
-    with open(cfg.ch_region_path) as f:
+    """Resolve ``cfg.region`` strings to 0-indexed channel indices.
+
+    Falls back to the packaged region table (the reference's
+    ``data/GOD/ch_region.json`` artifact) when ``cfg.ch_region_path`` is
+    absent or missing on disk."""
+    path = cfg.get("ch_region_path") if hasattr(cfg, "get") else None
+    if not (path and os.path.exists(path)):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "layouts", "god_ch_region.json")
+    with open(path) as f:
         ch_region_info = json.load(f)
     roi_channels: list[int] = []
     for reg in cfg.region:

@@ -87,6 +87,28 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str, reduction: str 
     return total
 
 
+def clip_loss_sharded(x, y, temp, mesh, reduction: str = "mean",
+                      axis_name: str = "data"):
+    """CLIP loss over a batch-sharded (x, y) via ``shard_map`` around
+    ``clip_loss_local_rows``: the (B_local, F) embeddings are all-gathered
+    over ICI and each device computes only its rows of both CE terms — the
+    collective pattern is explicit instead of left to XLA's auto-spmd.
+
+    Differentiable (shard_map + psum/all_gather have exact transposes); the
+    returned scalar is replicated.  Requires B divisible by the data-axis
+    size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def local(xl, yl, t):
+        return clip_loss_local_rows(xl, yl, t, axis_name, reduction=reduction)
+
+    spec_x = P(axis_name, *([None] * (x.ndim - 1)))
+    spec_y = P(axis_name, *([None] * (y.ndim - 1)))
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec_x, spec_y, P()),
+                         out_specs=P(), check_vma=False)(x, y, temp)
+
+
 class CLIPLoss(nn.Module):
     """Learnable-temperature CLIP loss as a module (temp is a trained param,
     optimized jointly with the encoder exactly as in reference

@@ -79,10 +79,16 @@ def fit(
     profile_dir = cfg.get("profile_dir") if hasattr(cfg, "get") else None
     profile_epoch = int(cfg.get("profile_epoch", 1)) if profile_dir else -1
 
+    # loaders with sampling randomness of their own (random subject/session
+    # pairing) take a per-call key derived from (seed, epoch, step) so a
+    # resumed run replays the exact batches a continuous run would have
+    stochastic_train = getattr(train_set, "stochastic", False)
+    stochastic_test = getattr(test_set, "stochastic", False)
+
     for epoch in range(start_epoch, epochs):
         # derived purely from (seed, epoch) so a resumed run samples the
         # exact batches the continuous run would have
-        ekey, tkey = jax.random.split(jax.random.fold_in(base_key, epoch))
+        ekey, tkey, gkey = jax.random.split(jax.random.fold_in(base_key, epoch), 3)
         if use_sampler:
             idx_epoch = np.asarray(
                 sample_with_replacement(ekey, len(train_set), updates, batch_size)
@@ -92,9 +98,13 @@ def fit(
 
         train_hist = []
         with profile_trace(profile_dir if epoch == profile_epoch else None):
-            for idx in idx_epoch:
+            for step_i, idx in enumerate(idx_epoch):
                 with timer.phase("gather"):
-                    batch = train_set.gather(idx)
+                    if stochastic_train:
+                        batch = train_set.gather(
+                            idx, key=jax.random.fold_in(gkey, step_i))
+                    else:
+                        batch = train_set.gather(idx)
                     if shard_fn is not None:
                         batch = shard_fn(batch)
                 with timer.phase("step"):
@@ -110,7 +120,10 @@ def fit(
         test_idx = np.asarray(
             jax.random.choice(tkey, len(test_set), (test_size,), replace=False)
         )
-        tbatch = test_set.gather(test_idx)
+        if stochastic_test:
+            tbatch = test_set.gather(test_idx, key=jax.random.fold_in(tkey, 1))
+        else:
+            tbatch = test_set.gather(test_idx)
         if test_shard_fn is not None:
             tbatch = test_shard_fn(tbatch)
         if with_labels and len(tbatch) == 4:
@@ -126,9 +139,17 @@ def fit(
         row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em,
                **timer.means_ms()}
         timer.reset()
+        # failure detection (the reference has none, SURVEY §5.3).  The jitted
+        # step already skips any batch with a non-finite loss/grad (params and
+        # opt state unchanged, train_skipped counts the fraction); abort only
+        # when the whole epoch produced nothing, or a non-finite value leaked
+        # through anyway — before it overwrites the last good checkpoint.
+        if row.get("train_skipped", 0.0) >= 1.0:
+            raise FloatingPointError(
+                f"every step of epoch {epoch} was skipped (non-finite "
+                "loss/grads) — state NOT checkpointed; restore model_last "
+                "and lower the learning rate")
         if not np.isfinite(row.get("train_loss", 0.0)):
-            # failure detection (the reference has none, SURVEY §5.3): stop
-            # before a NaN state overwrites the last good checkpoint
             raise FloatingPointError(
                 f"non-finite training loss at epoch {epoch}: "
                 f"{row.get('train_loss')} — state NOT checkpointed; restore "
@@ -197,7 +218,10 @@ def fit_scan(
 
         test_idx = np.asarray(
             jax.random.choice(tkey, len(test_set), (test_size,), replace=False))
-        tbatch = test_set.gather(test_idx)
+        if getattr(test_set, "stochastic", False):
+            tbatch = test_set.gather(test_idx, key=jax.random.fold_in(tkey, 1))
+        else:
+            tbatch = test_set.gather(test_idx)
         test_metrics, _ = eval_step(state.params, state.batch_stats, *tbatch[:3])
         em = {f"test_{k}": float(v) for k, v in test_metrics.items()}
         row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em}

@@ -25,25 +25,112 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from meg_decoding_tpu.data.gwilliams import GwilliamsPacked, _gather_batch
+from meg_decoding_tpu.data.gwilliams import (
+    GwilliamsPacked,
+    _gather_batch,
+    local_shard_gather,
+    pad_sessions,
+)
 from meg_decoding_tpu.train.steps import CollateConfig, LossConfig
 
 __all__ = ["make_scan_epoch", "make_gwilliams_scan_epoch", "make_fused_speech_step"]
 
 
+def _shard_gwilliams(ds: GwilliamsPacked, mesh):
+    """Pad sessions to the data-axis size and device_put the packed arrays
+    with their production shardings: recordings/meg_onsets partitioned over
+    sessions (so the full dataset never has to fit one chip's HBM), the
+    small tables replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+    ds = pad_sessions(ds, n)
+    sess_sharded = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+    repl = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+    return GwilliamsPacked(
+        recordings=sess_sharded(ds.recordings),
+        y_stream=repl(ds.y_stream),
+        meg_onsets=sess_sharded(ds.meg_onsets),
+        speech_onsets=repl(ds.speech_onsets),
+        n_words=ds.n_words,
+        session_subject=repl(ds.session_subject),
+        seq_len=ds.seq_len,
+        num_subjects=ds.num_subjects,
+    )
+
+
+def _make_sharded_gather(mesh, seq_len: int):
+    """shard_map wrapper around the per-device window gather: idx and the
+    returned batch are sharded along 'data'; each device samples sessions
+    from its own recordings shard (see ``local_shard_gather``)."""
+    from jax.sharding import PartitionSpec as P
+
+    def gather(idx, key, seg_table, recordings, meg_onsets, y_stream,
+               speech_onsets, session_subject):
+        fn = jax.shard_map(
+            partial(local_shard_gather, seq_len=seq_len, axis_name="data"),
+            mesh=mesh,
+            in_specs=(P("data"), P(), P("data", None, None, None),
+                      P("data", None, None), P(), P(), P(), P()),
+            out_specs=(P("data", None, None), P("data", None, None),
+                       P("data")),
+            check_vma=False,
+        )
+        return fn(idx, key, recordings, meg_onsets, y_stream, speech_onsets,
+                  session_subject, seg_table)
+
+    return gather
+
+
 def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
-                           collate_cfg: CollateConfig, ds: GwilliamsPacked):
+                           collate_cfg: CollateConfig, ds: GwilliamsPacked,
+                           mesh=None):
     """Single-dispatch Gwilliams step: the window gather (Pallas DMA kernel)
     and the train step compile into ONE XLA program — saves the per-call
     dispatch round-trip between the two (~2.4 ms on this rig).
 
-    Returns ``fused(state, seg_rows (B,2), key) → (state, metrics)``.
+    With ``mesh``, recordings are sharded over sessions, each device gathers
+    its local batch rows from its own shard inside ``shard_map``, and the
+    step runs data-parallel with the explicit sharded CLIP loss — the
+    multi-chip flagship path (VERDICT round-1 item 2).
+
+    Returns ``fused(state, idx (B,), key) → (state, metrics)``.
     """
     from meg_decoding_tpu.train.steps import make_train_step
 
-    step = make_train_step(model, optimizer, loss_cfg, collate_cfg, donate=False)
-    n_sessions = int(ds.recordings.shape[0])
+    step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
+                           donate=False, mesh=mesh)
     seq_len = int(ds.seq_len)
+
+    if mesh is not None:
+        ds = _shard_gwilliams(ds, mesh)
+        sharded_gather = _make_sharded_gather(mesh, seq_len)
+        seg_table = jax.device_put(
+            jnp.asarray(ds.segment_table()),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _fused_sharded(state, idx, key, seg_table, recordings, y_stream,
+                           meg_onsets, speech_onsets, session_subject):
+            X, Y, subs = sharded_gather(idx, key, seg_table, recordings,
+                                        meg_onsets, y_stream, speech_onsets,
+                                        session_subject)
+            return step(state, X, Y, subs)
+
+        def fused(state, idx, key):
+            idx = jnp.asarray(idx)
+            assert idx.shape[0] % mesh.shape["data"] == 0, (
+                f"batch {idx.shape[0]} not divisible by data axis "
+                f"{mesh.shape['data']}")
+            return _fused_sharded(state, idx, key, seg_table, ds.recordings,
+                                  ds.y_stream, ds.meg_onsets,
+                                  ds.speech_onsets, ds.session_subject)
+
+        fused.ds = ds  # expose the sharded dataset (tests / eval reuse)
+        return fused
+
+    n_sessions = int(ds.recordings.shape[0])
     seg_table = jnp.asarray(ds.segment_table())
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -108,16 +195,39 @@ def make_scan_epoch(model, optimizer, loss_cfg: LossConfig,
 
 def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
                               collate_cfg: CollateConfig, ds: GwilliamsPacked,
-                              updates: int, batch_size: int):
+                              updates: int, batch_size: int, mesh=None):
     """Scan-epoch over the packed Gwilliams dataset: the random
-    subject-session pairing and window gather run inside the scan."""
+    subject-session pairing and window gather run inside the scan.
+
+    With ``mesh``, every scan step's gather runs in ``shard_map`` over the
+    session-sharded recordings and the train step is data-parallel — one
+    device call per epoch on N chips."""
     from meg_decoding_tpu.train.steps import make_train_step
 
     step_jit = make_train_step(model, optimizer, loss_cfg, collate_cfg,
-                               donate=False)
+                               donate=False, mesh=mesh)
+    seq_len = int(ds.seq_len)
+
+    if mesh is not None:
+        assert batch_size % mesh.shape["data"] == 0, (batch_size, mesh.shape)
+        n_segments = int(len(ds))
+        ds = _shard_gwilliams(ds, mesh)
+        seg = jax.device_put(
+            jnp.asarray(ds.segment_table()),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+        sharded_gather = _make_sharded_gather(mesh, seq_len)
+
+        def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
+                   speech_onsets, session_subject):
+            return sharded_gather(i, key, seg_table, recordings, meg_onsets,
+                                  y_stream, speech_onsets, session_subject)
+
+        return _build_epoch(step_jit, gather, updates, batch_size, n_segments,
+                            (seg, ds.recordings, ds.y_stream, ds.meg_onsets,
+                             ds.speech_onsets, ds.session_subject))
+
     seg = jnp.asarray(ds.segment_table())  # (N, 2): task, i_in_task
     n_sessions = int(ds.recordings.shape[0])
-    seq_len = int(ds.seq_len)
 
     def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
                speech_onsets, session_subject):

@@ -46,7 +46,6 @@ class CollateConfig:
 class LossConfig:
     kind: str = "clip"              # clip | mse | classification
     reduction: str = "mean"
-    fused: bool = False             # use the Pallas fused CLIP kernel
     same_label_weight: float = 0.0  # >0 adds SameLabelLoss (contrastive variant)
     l2_weight: float = 0.0          # manual L2 penalty on params (regression)
     criterion: str = "crossentropy"  # for classification kind
@@ -61,12 +60,16 @@ def _l2_penalty(params) -> jnp.ndarray:
 
 
 def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
-                  gallery=None, gallery_self_sim=None, train=True):
+                  gallery=None, gallery_self_sim=None, train=True, mesh=None):
     if loss_cfg.kind == "clip":
-        if loss_cfg.fused:
-            from meg_decoding_tpu.ops.pallas.clip_loss import fused_clip_loss
+        if mesh is not None:
+            # explicit sharded-CLIP collectives (all-gather embeddings over
+            # ICI, local CE rows, psum) instead of XLA auto-spmd — the
+            # pattern of SURVEY §5.8
+            from meg_decoding_tpu.objectives.clip import clip_loss_sharded
 
-            loss = fused_clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
+            loss = clip_loss_sharded(Y, Z, temp, mesh,
+                                     reduction=loss_cfg.reduction)
         else:
             loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
         if loss_cfg.same_label_weight > 0.0 and labels is not None:
@@ -91,11 +94,16 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     collate_cfg: CollateConfig,
-                    gallery=None, gallery_self_sim=None, donate: bool = True):
+                    gallery=None, gallery_self_sim=None, donate: bool = True,
+                    mesh=None):
     """Build the jitted train step.
 
     Signature: ``step(state, X, Y, subject_idxs, labels=None) →
     (state, metrics)`` with metrics {loss, top1, top10, temp, lr-proxy step}.
+
+    ``mesh`` (optional): when training data-parallel, routes the CLIP loss
+    through the explicit sharded-collective path (``clip_loss_sharded``) —
+    batch sizes must then be divisible by the data-axis size.
     """
 
     def train_step(state: TrainState, X, Y, subject_idxs, labels=None):
@@ -118,22 +126,41 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
                 Z = model.apply(variables, X, subject_idxs, train=True, rngs=rngs)
                 new_batch_stats = {}
             loss = _compute_loss(loss_cfg, Z, Y, labels, params["loss"]["temp"],
-                                 params, gallery, gallery_self_sim, train=True)
+                                 params, gallery, gallery_self_sim, train=True,
+                                 mesh=mesh)
             return loss, (Z, new_batch_stats)
 
         (loss, (Z, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        # failure detection (SURVEY §5.3 — the reference has none): a batch
+        # producing a non-finite loss or gradient is SKIPPED — params, opt
+        # state and BN stats keep their previous values — and counted, so one
+        # bad batch neither poisons the epoch nor kills the run.
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+
+        def _keep_old(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "temp": new_params["loss"]["temp"]}
+        new_params = _keep_old(new_params, state.params)
+        new_opt_state = _keep_old(new_opt_state, state.opt_state)
+        new_bs = _keep_old(new_bs, state.batch_stats if state.batch_stats else {})
+
+        metrics = {"loss": jnp.where(ok, loss, 0.0),
+                   "temp": new_params["loss"]["temp"],
+                   "skipped": 1.0 - ok.astype(jnp.float32)}
         if loss_cfg.grad_norms:
             # debug visibility into gradient flow (reference
             # utils/vis_grad.py:4-6 printed per-module grad sums)
-            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["grad_norm"] = jnp.where(ok, gnorm, 0.0)
         # the reference skeleton tracks retrieval top-k in every variant
         # (train_my_classifier.py shares train.py's metric loop)
-        metrics.update(retrieval_accuracy(Z, Y, top_ks=(1, 10)))
+        acc = retrieval_accuracy(Z, Y, top_ks=(1, 10))
+        metrics.update({k: jnp.where(ok, v, 0.0) for k, v in acc.items()})
         new_state = TrainState(
             params=new_params, batch_stats=new_bs, opt_state=new_opt_state,
             step=state.step + 1, key=key,

@@ -37,16 +37,21 @@ NUM_TASKS = 4
 TASK_PREFIXES = ["lw", "cable", "easy", "the"]  # gwilliams2022.py:72
 
 
-def _extract_annotations(df_annot):
-    """word onsets / sentence ids from BIDS annotations
-    (reference get_speech_onsets, gwilliams2022.py:701-721)."""
-    import pandas as pd
+def to_second(onset) -> float:
+    """Timestamp → seconds, reference semantics (to_second,
+    gwilliams2022.py:665-666: minute·60 + second + µs — hours are NOT
+    included, recordings being < 1 h)."""
+    return onset.minute * 60 + onset.second + onset.microsecond * 1e-6
 
-    desc = pd.DataFrame(df_annot.description.apply(eval).to_list())
-    starts = desc["start"].to_numpy().astype(float)
-    # make onsets continuous across the concatenated audio files
-    base = 0.0
+
+def continuous_onsets(starts: np.ndarray) -> np.ndarray:
+    """Make per-audio-file onsets continuous across the concatenated files
+    (reference ``continuous``, gwilliams2022.py:669-688): whenever the next
+    raw onset is smaller than the current one, a new file started — bump the
+    base by the current file's last timestamp."""
+    starts = np.asarray(starts, dtype=float)
     out = starts.copy()
+    base = 0.0
     for i in range(len(out)):
         bump = i < len(out) - 1 and starts[i + 1] < starts[i]
         if bump:
@@ -54,12 +59,45 @@ def _extract_annotations(df_annot):
         out[i] = starts[i] + base
         if bump:
             base = nxt
+    return out
+
+
+def _extract_annotations(df_annot):
+    """word onsets / sentence ids from BIDS annotations
+    (reference get_speech_onsets, gwilliams2022.py:701-721): onsets are made
+    continuous over ALL annotations (words + phonemes) first, THEN filtered
+    to kind == 'word', exactly as the reference does."""
+    import pandas as pd
+
+    desc = pd.DataFrame(df_annot.description.apply(eval).to_list())
+    out = continuous_onsets(desc["start"].to_numpy())
     kinds = desc["kind"].to_numpy()
     word_idx = np.where(kinds == "word")[0]
-    meg_onsets = np.array(
-        [o.minute * 60 + o.second + o.microsecond * 1e-6 for o in df_annot.onset]
-    )[word_idx]
+    meg_onsets = np.array([to_second(o) for o in df_annot.onset])[word_idx]
     return word_idx, out[word_idx], desc["sequence_id"].to_numpy()[word_idx], meg_onsets
+
+
+def accumulate_session(acc: dict, subj: int, sess: int, task: int, df_annot):
+    """Fold one session's annotations into the cache dicts, with the
+    reference's cross-subject/session consistency asserts
+    (gwilliams2022.py:240-244: speech onsets and sentence ids must be
+    identical across every subject/session of a task).
+
+    ``acc`` maps 'meg_onsets'/'speech_onsets'/'sentence_idxs' → dict.
+    Returns the x_dict key for this session.
+    """
+    word_idx, sp_on, sent, meg_on = _extract_annotations(df_annot)
+    key = f"subject{subj + 1:02d}_sess{sess}_task{task}"
+    task_key = f"task{task}"
+    if task_key in acc["speech_onsets"]:
+        assert np.allclose(acc["speech_onsets"][task_key], sp_on), \
+            "Speech onsets are different"
+        assert np.array_equal(acc["sentence_idxs"][task_key], sent), \
+            "Sentence ids are different"
+    acc["speech_onsets"][task_key] = sp_on
+    acc["sentence_idxs"][task_key] = sent
+    acc["meg_onsets"][key] = meg_on
+    return key
 
 
 def build_x(cfg, cache_dir):
@@ -75,7 +113,8 @@ def build_x(cfg, cache_dir):
 
     pre = cfg.preprocs
     root = os.path.join(cfg.root_dir, "data", "Gwilliams2022")
-    x_dict, meg_onsets, speech_onsets, sentence_idxs = {}, {}, {}, {}
+    x_dict = {}
+    acc = {"meg_onsets": {}, "speech_onsets": {}, "sentence_idxs": {}}
     raws, keys = [], []
     for subj in range(NUM_SUBJECTS):
         for sess in range(NUM_SESSIONS):
@@ -89,19 +128,13 @@ def build_x(cfg, cache_dir):
                 except Exception:
                     continue
                 df = raw.to_data_frame()
-                word_idx, sp_on, sent, meg_on = _extract_annotations(
-                    raw.annotations.to_data_frame()
-                )
-                key = f"subject{subj+1:02d}_sess{sess}_task{task}"
-                task_key = f"task{task}"
-                if task_key in speech_onsets:
-                    assert np.allclose(speech_onsets[task_key], sp_on)
-                speech_onsets[task_key] = sp_on
-                sentence_idxs[task_key] = sent
-                meg_onsets[key] = meg_on
+                key = accumulate_session(acc, subj, sess, task,
+                                         raw.annotations.to_data_frame())
                 meg = np.stack([df[k] for k in df.keys() if "MEG" in k])[:208]
                 raws.append(meg)
                 keys.append(key)
+    meg_onsets, speech_onsets, sentence_idxs = (
+        acc["meg_onsets"], acc["speech_onsets"], acc["sentence_idxs"])
 
     # one batched device program over all recordings (pad to longest)
     T_max = max(r.shape[1] for r in raws)

@@ -1,0 +1,63 @@
+"""Regenerate the packaged sensor layouts from MNE (exact parity).
+
+The image this framework ships in has no MNE and no network, so
+``meg_decoding_tpu/data/layouts/easycap_M10.csv`` is a geometric
+reconstruction of the 61-electrode equidistant montage.  Run this script on
+any machine with ``mne`` installed to overwrite it with MNE's exact
+``easycap-M10`` + ``find_layout`` output — the coordinates the reference
+uses (``meg_decoding/utils/layout.py:9-18``).
+
+    python scripts/export_mne_layouts.py
+"""
+
+import os
+
+import numpy as np
+
+LAYOUTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "meg_decoding_tpu", "data", "layouts")
+
+
+def export_easycap_m10():
+    import mne
+
+    montage = mne.channels.make_standard_montage("easycap-M10")
+    info = mne.create_info(ch_names=montage.ch_names, sfreq=512.0,
+                           ch_types="eeg")
+    info.set_montage(montage)
+    layout = mne.channels.find_layout(info, ch_type="eeg")
+    loc = layout.pos[:, :2]  # (61, 2) — channel 29 deletion happens at load
+    path = os.path.join(LAYOUTS, "easycap_M10.csv")
+    with open(path, "w") as f:
+        for x, y in loc:
+            f.write(f"{x:.8f},{y:.8f}\n")
+    print(f"wrote {path} ({loc.shape[0]} channels, exact MNE values)")
+
+
+def export_gwilliams_layout(bids_root: str):
+    """2-D layout of the first Gwilliams BIDS recording (reference
+    layout.py:20-32); writes a layout_csv usable via ``cfg.layout_csv``."""
+    import mne
+    import mne_bids
+
+    bids_path = mne_bids.BIDSPath(subject="01", session="0", task="0",
+                                  datatype="meg", root=bids_root)
+    raw = mne_bids.read_raw_bids(bids_path)
+    layout = mne.channels.find_layout(raw.info, ch_type="meg")
+    loc = layout.pos[:, :2]
+    path = os.path.join(LAYOUTS, "gwilliams_meg.csv")
+    with open(path, "w") as f:
+        for x, y in loc:
+            f.write(f"{x:.8f},{y:.8f}\n")
+    print(f"wrote {path} ({loc.shape[0]} channels)")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gwilliams-bids-root", default=None)
+    args = ap.parse_args()
+    export_easycap_m10()
+    if args.gwilliams_bids_root:
+        export_gwilliams_layout(args.gwilliams_bids_root)

@@ -1,0 +1,180 @@
+"""Reliability tests: per-step non-finite guard and deterministic resume.
+
+VERDICT round-1 items 5 and 9: a NaN batch must not poison training (skip the
+update, count it), and a resumed run must replay the exact batches — random
+subject/session pairing included — that a continuous run would have.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from meg_decoding_tpu.data.layout import normalize_locations, synthetic_cap_locations
+from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+from meg_decoding_tpu.train.state import create_train_state
+from meg_decoding_tpu.train.steps import (
+    CollateConfig,
+    LossConfig,
+    make_train_step,
+)
+
+from tests.fixtures import make_gwilliams_cache
+
+
+def _tiny_setup(B=8, C=8, T=24, F=16):
+    loc = normalize_locations(synthetic_cap_locations(C))
+    model = BrainEncoder(loc=loc, num_subjects=2, D1=8, D2=12, F=F, K=4)
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.randn(B, C, T), jnp.float32)
+    Y = jnp.asarray(rng.randn(B, F), jnp.float32)
+    subs = jnp.asarray(rng.randint(0, 2, B))
+    opt = optax.adam(1e-3)
+    state = create_train_state(model, opt, (X, Y, subs), jax.random.PRNGKey(0))
+    step = make_train_step(model, opt, LossConfig(kind="clip"),
+                           CollateConfig(baseline_len_samp=4, clamp_lim=20.0),
+                           donate=False)
+    return state, step, (X, Y, subs)
+
+
+class TestNonFiniteGuard:
+    def test_nan_batch_skips_update_and_counts(self):
+        state, step, (X, Y, subs) = _tiny_setup()
+        # one good step first: params must move, skipped == 0
+        state1, m1 = step(state, X, Y, subs)
+        assert float(m1["skipped"]) == 0.0
+        assert np.isfinite(float(m1["loss"])) and float(m1["loss"]) != 0.0
+
+        # NaN batch: params/opt state unchanged, skipped == 1, loss masked to 0
+        X_bad = X.at[0, 0, 0].set(jnp.nan)
+        state2, m2 = step(state1, X_bad, Y, subs)
+        assert float(m2["skipped"]) == 1.0
+        assert float(m2["loss"]) == 0.0
+        flat1 = jax.tree_util.tree_leaves(state1.params)
+        flat2 = jax.tree_util.tree_leaves(state2.params)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state1.opt_state),
+                        jax.tree_util.tree_leaves(state2.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state1.batch_stats),
+                        jax.tree_util.tree_leaves(state2.batch_stats)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # step counter still advances (the batch was consumed)
+        assert int(state2.step) == int(state1.step) + 1
+
+        # training continues cleanly after the bad batch
+        state3, m3 = step(state2, X, Y, subs)
+        assert float(m3["skipped"]) == 0.0
+        assert np.isfinite(float(m3["loss"]))
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(state2.params),
+                            jax.tree_util.tree_leaves(state3.params))
+        )
+        assert moved
+
+    def test_all_skipped_epoch_aborts(self, tmp_path):
+        """The epoch driver aborts (state not checkpointed) when every step
+        of an epoch was skipped."""
+        from meg_decoding_tpu.train.loop import fit
+        from meg_decoding_tpu.utils.logging import RunLogger
+
+        state, step, (X, Y, subs) = _tiny_setup()
+        X_bad = jnp.full_like(X, jnp.nan)
+
+        class _BadLoader:
+            num_subjects = 2
+
+            def __len__(self):
+                return X.shape[0]
+
+            def gather(self, idx):
+                return X_bad[np.asarray(idx) % X.shape[0]], \
+                    Y[np.asarray(idx) % X.shape[0]], subs[np.asarray(idx) % X.shape[0]]
+
+        from meg_decoding_tpu.core.config import Config
+
+        cfg = Config({"epochs": 1, "batch_size": 4, "updates": 2,
+                      "use_sampler": True, "test_size": 4})
+        logger = RunLogger(str(tmp_path), run_name="bad")
+        from meg_decoding_tpu.train.steps import make_eval_step
+
+        eval_step = make_eval_step(
+            _tiny_model_for_eval(), LossConfig(kind="clip"),
+            CollateConfig(baseline_len_samp=4, clamp_lim=20.0))
+        with pytest.raises(FloatingPointError):
+            fit(cfg, _BadLoader(), _BadLoader(), state, step, eval_step, logger)
+
+
+def _tiny_model_for_eval():
+    loc = normalize_locations(synthetic_cap_locations(8))
+    return BrainEncoder(loc=loc, num_subjects=2, D1=8, D2=12, F=16, K=4)
+
+
+class TestResumeDeterminism:
+    @pytest.mark.parametrize("fuse_gather", [True, False])
+    def test_straight_vs_resumed_runs_match(self, tmp_path, fuse_gather):
+        """4 epochs straight == 2 epochs + resume + 2 epochs: identical
+        logged metrics row-for-row (same sampled segments, same random
+        subject/session pairings, same final state)."""
+        cache = str(tmp_path / "cache")
+        cfg_base = make_gwilliams_cache(cache)
+
+        def _cfg(save_root, epochs, resume=False):
+            from meg_decoding_tpu.core.config import Config, to_dict
+
+            cfg = Config(to_dict(cfg_base))
+            cfg.save_root = save_root
+            cfg.model = "brain_encoder"
+            cfg.D1 = 8
+            cfg.D2 = 12
+            cfg.F = 16
+            cfg.K = 4
+            cfg.d_drop = 0.1
+            cfg.seq2seq = True
+            cfg.batch_size = 8
+            cfg.updates = 3
+            cfg.epochs = epochs
+            cfg.use_sampler = True
+            cfg.test_size = 8
+            cfg.lr = 1e-3
+            cfg.lr_scheduler = "none"
+            cfg.init_temperature = 5.1
+            cfg.seed = 0
+            cfg.data_parallel = False
+            cfg.fuse_gather = fuse_gather
+            cfg.resume = resume
+            cfg.set_dotted("loss.kind", "clip")
+            return cfg
+
+        from meg_decoding_tpu.cli.train_speech import run
+
+        run(_cfg(str(tmp_path / "straight"), epochs=4))
+        run(_cfg(str(tmp_path / "resumed"), epochs=2))
+        import time
+
+        time.sleep(1.1)  # distinct run-dir timestamps
+        run(_cfg(str(tmp_path / "resumed"), epochs=4, resume=True))
+
+        def _rows(save_root):
+            rows = {}
+            for r in os.listdir(os.path.join(save_root, "runs")):
+                p = os.path.join(save_root, "runs", r, "metrics.jsonl")
+                for line in open(p):
+                    row = json.loads(line)
+                    rows[row["epoch"]] = row
+            return rows
+
+        a, b = _rows(str(tmp_path / "straight")), _rows(str(tmp_path / "resumed"))
+        assert sorted(a) == sorted(b) == [0, 1, 2, 3]
+        for e in (0, 1, 2, 3):
+            for k in a[e]:
+                if k.endswith("_ms"):  # wall-clock timings differ
+                    continue
+                assert a[e][k] == b[e][k], (e, k, a[e][k], b[e][k])

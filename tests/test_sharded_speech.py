@@ -1,0 +1,235 @@
+"""Multi-chip speech fast paths on the CPU mesh (VERDICT round-1 item 2).
+
+The sharded fused gather+step and the sharded whole-epoch scan must produce
+the same math as a single-device run fed the identical batches.  The sharded
+session sampling is device-major (device d draws uniformly from its own
+session shard), so the single-device oracle emulates exactly that scheme;
+equality then holds up to float reduction order (psum vs single-device sum),
+checked with SGD so near-zero gradients can't amplify into ±lr Adam flips.
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from meg_decoding_tpu.core.mesh import make_mesh, replicated
+from meg_decoding_tpu.data.gwilliams import (
+    _gather_batch,
+    build_gwilliams_dataset,
+    load_gwilliams_cache,
+    pad_sessions,
+)
+from meg_decoding_tpu.data.layout import normalize_locations, synthetic_cap_locations
+from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+from meg_decoding_tpu.train.scan_loop import (
+    _make_sharded_gather,
+    _shard_gwilliams,
+    make_fused_speech_step,
+    make_gwilliams_scan_epoch,
+)
+from meg_decoding_tpu.train.state import create_train_state
+from meg_decoding_tpu.train.steps import CollateConfig, LossConfig, make_train_step
+
+from tests.fixtures import make_gwilliams_cache
+
+N_DEV = 4
+B = 8
+
+
+@pytest.fixture(scope="module")
+def packed():
+    tmp = tempfile.mkdtemp()
+    cfg = make_gwilliams_cache(tmp)
+    x, y, mo, so, sent = load_gwilliams_cache(tmp)
+    train, test = build_gwilliams_dataset(cfg, x, y, mo, so, sent,
+                                          split_mode="sentence")
+    return cfg, train, test
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=N_DEV, devices=jax.devices("cpu")[:N_DEV])
+
+
+def _setup(ds, seq2seq=True, optimizer=None):
+    C = ds.recordings.shape[2]
+    loc = normalize_locations(synthetic_cap_locations(C))
+    model = BrainEncoder(loc=loc, num_subjects=ds.num_subjects,
+                         D1=8, D2=12, F=16, K=4, seq2seq=seq2seq)
+    rng = np.random.RandomState(0)
+    Xe = jnp.asarray(rng.randn(B, C, ds.seq_len), jnp.float32)
+    Ye = jnp.asarray(rng.randn(B, 16, ds.seq_len), jnp.float32) if seq2seq \
+        else jnp.asarray(rng.randn(B, 16), jnp.float32)
+    subs_e = jnp.asarray(rng.randint(0, ds.num_subjects, B))
+    opt = optimizer or optax.sgd(1e-2)
+    state = create_train_state(model, opt, (Xe, Ye, subs_e), jax.random.PRNGKey(0))
+    return model, opt, state
+
+
+def _emulated_sessions(key, n_dev, S_pad, b):
+    """The device-major session draw every device performs inside shard_map."""
+    S_local, B_local = S_pad // n_dev, b // n_dev
+    parts = []
+    for d in range(n_dev):
+        kd = jax.random.fold_in(key, d)
+        parts.append(d * S_local + jax.random.randint(kd, (B_local,), 0, S_local))
+    return jnp.concatenate(parts)
+
+
+class TestPadSessions:
+    def test_pads_cyclically_and_keeps_metadata(self, packed):
+        _, train, _ = packed
+        S = train.recordings.shape[0]
+        ds = pad_sessions(train, N_DEV)
+        S_pad = ds.recordings.shape[0]
+        assert S_pad % N_DEV == 0 and S_pad - S < N_DEV
+        for i in range(S_pad - S):
+            np.testing.assert_array_equal(np.asarray(ds.recordings[S + i]),
+                                          np.asarray(train.recordings[i % S]))
+            assert int(ds.session_subject[S + i]) == int(train.session_subject[i % S])
+        assert len(ds) == len(train)  # segment count unchanged
+
+    def test_noop_when_divisible(self, packed):
+        _, train, _ = packed
+        S = train.recordings.shape[0]
+        assert pad_sessions(train, S) is train
+
+
+class TestShardedFusedStep:
+    def test_matches_emulated_single_device(self, packed, mesh):
+        _, train, _ = packed
+        model, opt, state = _setup(train)
+        lc = LossConfig(kind="clip")
+        cc = CollateConfig(baseline_len_samp=8, clamp_lim=20.0)
+
+        fused = make_fused_speech_step(model, opt, lc, cc, train, mesh=mesh)
+        idx = np.arange(B)
+        key = jax.random.PRNGKey(5)
+        state_m = jax.device_put(state, replicated(mesh))
+        state_m, mm = fused(state_m, idx, key)
+        # the fused step donates its state argument; rebuild the oracle's
+        _, _, state = _setup(train)
+
+        # oracle: identical batches gathered on one device
+        ds_p = pad_sessions(train, N_DEV)
+        sess = _emulated_sessions(key, N_DEV, ds_p.recordings.shape[0], B)
+        seg = jnp.asarray(ds_p.segment_table())[jnp.asarray(idx)]
+        X, Y, subs = _gather_batch(
+            ds_p.recordings, ds_p.y_stream, ds_p.meg_onsets,
+            ds_p.speech_onsets, ds_p.session_subject,
+            seg[:, 0], seg[:, 1], sess, ds_p.seq_len)
+        step_s = make_train_step(model, opt, lc, cc, donate=False)
+        state_s, ms = step_s(state, X, Y, subs)
+
+        np.testing.assert_allclose(float(mm["loss"]), float(ms["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(state_m.params),
+                        jax.tree_util.tree_leaves(state_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_session_sharded_hbm_layout(self, packed, mesh):
+        """The production layout: recordings really are partitioned over the
+        data axis (each device holds S_pad/N sessions, not a replica)."""
+        _, train, _ = packed
+        ds = _shard_gwilliams(train, mesh)
+        shard_shapes = {s.data.shape for s in ds.recordings.addressable_shards}
+        S_pad = ds.recordings.shape[0]
+        assert shard_shapes == {(S_pad // N_DEV,) + ds.recordings.shape[1:]}
+        assert len(ds.recordings.addressable_shards) == N_DEV
+
+
+class TestShardedScanEpoch:
+    def test_matches_emulated_single_device_loop(self, packed, mesh):
+        _, train, _ = packed
+        updates, bs = 3, B
+        model, opt, state = _setup(train)
+        lc = LossConfig(kind="clip")
+        cc = CollateConfig(baseline_len_samp=8, clamp_lim=20.0)
+
+        scan_epoch = make_gwilliams_scan_epoch(model, opt, lc, cc, train,
+                                               updates=updates, batch_size=bs,
+                                               mesh=mesh)
+        key = jax.random.PRNGKey(7)
+        state_m = jax.device_put(state, replicated(mesh))
+        state_m, mm = scan_epoch(state_m, key)
+        # the scan epoch donates its state argument; rebuild the oracle's
+        _, _, state = _setup(train)
+
+        # oracle loop replicating _build_epoch's sampling exactly
+        ds_p = pad_sessions(train, N_DEV)
+        seg_table = jnp.asarray(ds_p.segment_table())
+        ikey, key2 = jax.random.split(key)
+        idx = jax.random.randint(ikey, (updates, bs), 0, len(train))
+        subkeys = jax.random.split(key2, updates)
+        step_s = make_train_step(model, opt, lc, cc, donate=False)
+        state_s = state
+        hist = []
+        for u in range(updates):
+            sess = _emulated_sessions(subkeys[u], N_DEV,
+                                      ds_p.recordings.shape[0], bs)
+            seg = seg_table[idx[u]]
+            X, Y, subs = _gather_batch(
+                ds_p.recordings, ds_p.y_stream, ds_p.meg_onsets,
+                ds_p.speech_onsets, ds_p.session_subject,
+                seg[:, 0], seg[:, 1], sess, ds_p.seq_len)
+            state_s, ms = step_s(state_s, X, Y, subs)
+            hist.append(ms)
+
+        mean_loss = float(np.mean([float(h["loss"]) for h in hist]))
+        np.testing.assert_allclose(float(mm["loss"]), mean_loss, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(state_m.params),
+                        jax.tree_util.tree_leaves(state_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-6)
+
+
+class TestShardedTrainerE2E:
+    def _cfg(self, cfg, save_root, **extra):
+        cfg.save_root = save_root
+        cfg.model = "brain_encoder"
+        cfg.D1 = 8
+        cfg.D2 = 12
+        cfg.F = 16
+        cfg.K = 4
+        cfg.d_drop = 0.1
+        cfg.seq2seq = True
+        cfg.batch_size = 16
+        cfg.updates = 3
+        cfg.epochs = 1
+        cfg.use_sampler = True
+        cfg.test_size = 16
+        cfg.lr = 1e-3
+        cfg.lr_scheduler = "none"
+        cfg.init_temperature = 5.1
+        cfg.seed = 0
+        cfg.data_parallel = True     # engage the 8-device CPU mesh
+        cfg.set_dotted("loss.kind", "clip")
+        for k, v in extra.items():
+            cfg.set_dotted(k, v)
+        return cfg
+
+    def test_fused_path_under_mesh(self, tmp_path):
+        cache = str(tmp_path / "cache")
+        cfg = make_gwilliams_cache(cache)
+        cfg = self._cfg(cfg, str(tmp_path / "out"), fuse_gather=True)
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        assert best.get("test_top10", 0) > 0
+
+    def test_scan_epochs_under_mesh(self, tmp_path):
+        cache = str(tmp_path / "cache")
+        cfg = make_gwilliams_cache(cache)
+        cfg = self._cfg(cfg, str(tmp_path / "out"), use_scan_epochs=True,
+                        split_mode="sentence")
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))

@@ -27,16 +27,16 @@ NUM_SUBJECTS = 27
 
 
 class SpatialAttention(nn.Module):
-    def __init__(self, loc):
+    def __init__(self, loc, d1=D1, k_dim=K):
         super().__init__()
-        k = torch.arange(K).repeat_interleave(K).float()
-        l = torch.arange(K).repeat(K).float()
+        k = torch.arange(k_dim).repeat_interleave(k_dim).float()
+        l = torch.arange(k_dim).repeat(k_dim).float()
         x, y = torch.tensor(loc[:, 0]), torch.tensor(loc[:, 1])
         phi = 2 * torch.pi * (torch.outer(k, x) + torch.outer(l, y))
         self.register_buffer("cos", torch.cos(phi).float())
         self.register_buffer("sin", torch.sin(phi).float())
-        self.z_re = nn.Parameter(torch.rand(D1, K * K))
-        self.z_im = nn.Parameter(torch.rand(D1, K * K))
+        self.z_re = nn.Parameter(torch.rand(d1, k_dim * k_dim))
+        self.z_im = nn.Parameter(torch.rand(d1, k_dim * k_dim))
 
     def forward(self, X):
         a = self.z_re @ self.cos + self.z_im @ self.sin
@@ -45,12 +45,12 @@ class SpatialAttention(nn.Module):
 
 
 class SubjectBlock(nn.Module):
-    def __init__(self, loc):
+    def __init__(self, loc, d1=D1, k_dim=K, num_subjects=NUM_SUBJECTS):
         super().__init__()
-        self.sa = SpatialAttention(loc)
-        self.conv = nn.Conv1d(D1, D1, 1)
+        self.sa = SpatialAttention(loc, d1, k_dim)
+        self.conv = nn.Conv1d(d1, d1, 1)
         self.subject_layer = nn.ModuleList(
-            [nn.Conv1d(D1, D1, 1, bias=False) for _ in range(NUM_SUBJECTS)]
+            [nn.Conv1d(d1, d1, 1, bias=False) for _ in range(num_subjects)]
         )
 
     def forward(self, X, subject_idxs):
@@ -62,15 +62,15 @@ class SubjectBlock(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    def __init__(self, k):
+    def __init__(self, k, d1=D1, d2=D2):
         super().__init__()
-        cin = D1 if k == 0 else D2
+        cin = d1 if k == 0 else d2
         self.k = k
-        self.conv0 = nn.Conv1d(cin, D2, 3, padding="same")
-        self.bn0 = nn.BatchNorm1d(D2)
-        self.conv1 = nn.Conv1d(D2, D2, 3, padding="same")
-        self.bn1 = nn.BatchNorm1d(D2)
-        self.conv2 = nn.Conv1d(D2, 2 * D2, 3, padding="same")
+        self.conv0 = nn.Conv1d(cin, d2, 3, padding="same")
+        self.bn0 = nn.BatchNorm1d(d2)
+        self.conv1 = nn.Conv1d(d2, d2, 3, padding="same")
+        self.bn1 = nn.BatchNorm1d(d2)
+        self.conv2 = nn.Conv1d(d2, 2 * d2, 3, padding="same")
 
     def forward(self, X):
         h = self.conv0(X) if self.k == 0 else self.conv0(X) + X
@@ -80,12 +80,13 @@ class ConvBlock(nn.Module):
 
 
 class BrainEncoder(nn.Module):
-    def __init__(self, loc):
+    def __init__(self, loc, d1=D1, d2=D2, f_dim=Fdim, k_dim=K,
+                 num_subjects=NUM_SUBJECTS):
         super().__init__()
-        self.subject_block = SubjectBlock(loc)
-        self.blocks = nn.Sequential(*[ConvBlock(k) for k in range(5)])
-        self.f1 = nn.Conv1d(D2, 2 * D2, 1)
-        self.f2 = nn.Conv1d(2 * D2, Fdim, 1)
+        self.subject_block = SubjectBlock(loc, d1, k_dim, num_subjects)
+        self.blocks = nn.Sequential(*[ConvBlock(k, d1, d2) for k in range(5)])
+        self.f1 = nn.Conv1d(d2, 2 * d2, 1)
+        self.f2 = nn.Conv1d(2 * d2, f_dim, 1)
 
     def forward(self, X, subject_idxs):
         X = self.subject_block(X, subject_idxs)
@@ -102,7 +103,8 @@ def clip_loss(x, y, temp):
     return (ce(logits, t) + ce(logits.T, t)) / 2
 
 
-def main():
+def _measure(n_threads: int, n_steps: int = 5) -> float:
+    torch.set_num_threads(n_threads)
     rng = np.random.RandomState(0)
     loc = rng.rand(C, 2).astype(np.float32)
     model = BrainEncoder(loc)
@@ -119,7 +121,6 @@ def main():
         loss.backward()
         opt.step()
 
-    n_steps = 5
     t0 = time.time()
     for _ in range(n_steps):
         opt.zero_grad()
@@ -127,13 +128,23 @@ def main():
         loss.backward()
         opt.step()
     dt = time.time() - t0
-    sps = B * n_steps / dt
+    return B * n_steps / dt
+
+
+def main():
+    # both denominators: the honest one is all cores (the reference's own
+    # framing is 20 cores, README.md:26); 1-thread kept for context
+    n_cores = os.cpu_count() or 1
+    sps_multi = _measure(n_cores)
+    sps_single = _measure(1)
     out = {
-        "torch_cpu_train_samples_per_sec": sps,
+        # bench.py's vs_baseline divides by this (multi-threaded) number
+        "torch_cpu_train_samples_per_sec": sps_multi,
+        "torch_cpu_train_samples_per_sec_1thread": sps_single,
+        "num_threads": n_cores,
         "batch_size": B,
-        "num_threads": torch.get_num_threads(),
-        "steps_timed": n_steps,
-        "sec_per_step": dt / n_steps,
+        "steps_timed": 5,
+        "sec_per_step": B / sps_multi,
     }
     path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     with open(path, "w") as f:
