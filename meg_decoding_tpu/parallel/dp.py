@@ -20,10 +20,19 @@ __all__ = ["maybe_distributed_init", "setup_data_parallel"]
 def maybe_distributed_init(cfg) -> None:
     """Multi-host bootstrap: call ``jax.distributed.initialize`` when the
     config carries a ``distributed:`` block (coordinator_address,
-    num_processes, process_id)."""
+    num_processes, process_id).
+
+    On TPU pods the collectives ride ICI/DCN natively; on CPU backends
+    (tests, tests/test_multihost.py) cross-process collectives need the gloo
+    implementation, selected before initialize."""
     dist = cfg.get("distributed") if hasattr(cfg, "get") else None
     if not dist:
         return
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation",
+                          str(dist.get("cpu_collectives", "gloo")))
     jax.distributed.initialize(
         coordinator_address=dist["coordinator_address"],
         num_processes=int(dist["num_processes"]),

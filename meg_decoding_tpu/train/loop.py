@@ -33,6 +33,51 @@ def _mean_metrics(history: list[dict]) -> dict:
     return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
 
 
+def _test_pool_starts(n: int, pool: int, sweep: bool) -> list[int]:
+    """Window starts covering the test split with pools of exactly ``pool``
+    elements: non-overlapping windows plus a tail-covering final window.
+    ``sweep=False`` reproduces the reference's single-batch test pass
+    (train.py:223-245)."""
+    if not sweep or n <= pool:
+        return [0]
+    starts = list(range(0, n - pool + 1, pool))
+    if starts[-1] + pool < n:
+        starts.append(n - pool)
+    return starts
+
+
+def _eval_test_pools(cfg, test_set, eval_step, state, tkey, test_size,
+                     shard_fn, with_labels: bool) -> dict:
+    """Epoch test pass.  The reference scores ONE random batch of
+    ``test_size`` (train.py:223-245) — a noisy signal to hang model_best
+    selection off.  By default every pool of the (shuffled) test split is
+    scored and metrics averaged; pool size stays ``test_size`` so the
+    retrieval metric semantics (top-k among test_size candidates) are
+    unchanged.  ``test_sweep: false`` restores the single-batch behavior."""
+    n = len(test_set)
+    perm = np.asarray(jax.random.permutation(tkey, n))
+    sweep = bool(cfg.get("test_sweep", True)) if hasattr(cfg, "get") else True
+    stochastic = getattr(test_set, "stochastic", False)
+    hist = []
+    for j, s in enumerate(_test_pool_starts(n, test_size, sweep)):
+        idx = perm[s:s + test_size]
+        if stochastic:
+            tbatch = test_set.gather(idx, key=jax.random.fold_in(tkey, 1 + j))
+        else:
+            tbatch = test_set.gather(idx)
+        if shard_fn is not None:
+            tbatch = shard_fn(tbatch)
+        if with_labels and len(tbatch) == 4:
+            tX, tY, tsubs, tlabels = tbatch
+            m, _ = eval_step(state.params, state.batch_stats, tX, tY, tsubs,
+                             tlabels)
+        else:
+            tX, tY, tsubs = tbatch[:3]
+            m, _ = eval_step(state.params, state.batch_stats, tX, tY, tsubs)
+        hist.append(m)
+    return _mean_metrics(hist)
+
+
 def fit(
     cfg,
     train_set: PackedDataset,
@@ -83,7 +128,6 @@ def fit(
     # pairing) take a per-call key derived from (seed, epoch, step) so a
     # resumed run replays the exact batches a continuous run would have
     stochastic_train = getattr(train_set, "stochastic", False)
-    stochastic_test = getattr(test_set, "stochastic", False)
 
     for epoch in range(start_epoch, epochs):
         # derived purely from (seed, epoch) so a resumed run samples the
@@ -116,23 +160,11 @@ def fit(
                         state, metrics = train_step(state, *batch[:3])
                 train_hist.append(metrics)
 
-        # test pass: one batch of size test_size, sampled without replacement
-        test_idx = np.asarray(
-            jax.random.choice(tkey, len(test_set), (test_size,), replace=False)
-        )
-        if stochastic_test:
-            tbatch = test_set.gather(test_idx, key=jax.random.fold_in(tkey, 1))
-        else:
-            tbatch = test_set.gather(test_idx)
-        if test_shard_fn is not None:
-            tbatch = test_shard_fn(tbatch)
-        if with_labels and len(tbatch) == 4:
-            tX, tY, tsubs, tlabels = tbatch
-            test_metrics, _ = eval_step(state.params, state.batch_stats, tX, tY,
-                                        tsubs, tlabels)
-        else:
-            tX, tY, tsubs = tbatch[:3]
-            test_metrics, _ = eval_step(state.params, state.batch_stats, tX, tY, tsubs)
+        # test pass: pools of test_size covering the whole split (see
+        # _eval_test_pools; test_sweep=false restores the reference's
+        # single-random-batch pass)
+        test_metrics = _eval_test_pools(cfg, test_set, eval_step, state, tkey,
+                                        test_size, test_shard_fn, with_labels)
 
         tm = _mean_metrics(train_hist)
         em = {f"test_{k}": float(v) for k, v in test_metrics.items()}
@@ -216,13 +248,8 @@ def fit_scan(
         state, tm = scan_epoch(state, ekey)
         tm = {k: float(v) for k, v in tm.items()}
 
-        test_idx = np.asarray(
-            jax.random.choice(tkey, len(test_set), (test_size,), replace=False))
-        if getattr(test_set, "stochastic", False):
-            tbatch = test_set.gather(test_idx, key=jax.random.fold_in(tkey, 1))
-        else:
-            tbatch = test_set.gather(test_idx)
-        test_metrics, _ = eval_step(state.params, state.batch_stats, *tbatch[:3])
+        test_metrics = _eval_test_pools(cfg, test_set, eval_step, state, tkey,
+                                        test_size, None, with_labels=False)
         em = {f"test_{k}": float(v) for k, v in test_metrics.items()}
         row = {"epoch": epoch, **{f"train_{k}": v for k, v in tm.items()}, **em}
         logger.log(row)

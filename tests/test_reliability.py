@@ -117,6 +117,22 @@ def _tiny_model_for_eval():
     return BrainEncoder(loc=loc, num_subjects=2, D1=8, D2=12, F=16, K=4)
 
 
+class TestTestPoolSweep:
+    def test_pools_cover_split_exactly(self):
+        from meg_decoding_tpu.train.loop import _test_pool_starts
+
+        starts = _test_pool_starts(100, 32, sweep=True)
+        assert starts == [0, 32, 64, 68]  # tail-covering final pool
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + 32))
+        assert covered == set(range(100))
+        # reference behavior: one pool (train.py:223-245)
+        assert _test_pool_starts(100, 32, sweep=False) == [0]
+        assert _test_pool_starts(20, 32, sweep=True) == [0]
+        assert _test_pool_starts(64, 32, sweep=True) == [0, 32]
+
+
 class TestResumeDeterminism:
     @pytest.mark.parametrize("fuse_gather", [True, False])
     def test_straight_vs_resumed_runs_match(self, tmp_path, fuse_gather):
