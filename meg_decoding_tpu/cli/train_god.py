@@ -123,15 +123,15 @@ def run(cfg: Config) -> dict:
 
     state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
 
-    if cfg.get("use_scan_epochs", False) and not with_labels and mesh is None:
-        # whole-epoch scan fast path (single-chip; labels/classification and
-        # sharding use the per-step driver)
+    if cfg.get("use_scan_epochs", False) and not with_labels:
+        # whole-epoch scan fast path (single-chip or data-parallel;
+        # labels/classification use the per-step driver)
         from meg_decoding_tpu.train.loop import fit_scan
         from meg_decoding_tpu.train.scan_loop import make_scan_epoch
 
         scan_epoch = make_scan_epoch(
             model, optimizer, loss_cfg, collate_cfg, train_set,
-            updates=updates, batch_size=int(cfg.batch_size))
+            updates=updates, batch_size=int(cfg.batch_size), mesh=mesh)
         state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
                                eval_step, logger, ckpt,
                                seed=int(cfg.get("seed", 0)),

@@ -178,19 +178,37 @@ def _build_epoch(step_fn, gather_fn, updates: int, batch_size: int, n: int,
 
 def make_scan_epoch(model, optimizer, loss_cfg: LossConfig,
                     collate_cfg: CollateConfig, dataset,
-                    updates: int, batch_size: int):
-    """Scan-epoch over a PackedDataset held in HBM (GOD / Brennan-style)."""
+                    updates: int, batch_size: int, mesh=None):
+    """Scan-epoch over a PackedDataset held in HBM (GOD / Brennan-style).
+
+    With ``mesh``, the packed arrays are replicated (GOD-scale sets are
+    ~1 GB — unlike Gwilliams there is nothing to shard), each scan step's
+    gathered batch is constrained to the 'data' axis, and the train step
+    runs data-parallel with the explicit sharded CLIP loss."""
     from meg_decoding_tpu.train.steps import make_train_step
 
     step_jit = make_train_step(model, optimizer, loss_cfg, collate_cfg,
-                               donate=False)
+                               donate=False, mesh=mesh)
+    data_args = (dataset.X, dataset.Y, dataset.subject_idxs)
 
-    def gather(i, _key, X, Y, subs):
-        return X[i], Y[i], subs[i]
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert batch_size % mesh.shape["data"] == 0, (batch_size, mesh.shape)
+        repl = NamedSharding(mesh, P())
+        data_args = tuple(jax.device_put(jnp.asarray(a), repl)
+                          for a in data_args)
+        batch_shard = lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+
+        def gather(i, _key, X, Y, subs):
+            return batch_shard(X[i]), batch_shard(Y[i]), batch_shard(subs[i])
+    else:
+        def gather(i, _key, X, Y, subs):
+            return X[i], Y[i], subs[i]
 
     return _build_epoch(step_jit, gather, updates, batch_size,
-                        int(dataset.X.shape[0]),
-                        (dataset.X, dataset.Y, dataset.subject_idxs))
+                        int(dataset.X.shape[0]), data_args)
 
 
 def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,

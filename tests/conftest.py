@@ -22,3 +22,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Make the repo root importable regardless of the pytest invocation cwd.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute convergence/multi-process tests "
+        "(deselect with -m 'not slow')")

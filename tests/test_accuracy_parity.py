@@ -1,0 +1,168 @@
+"""Accuracy anchor (VERDICT round-1 item 4, BASELINE.md criterion).
+
+No real MEG ships in this image, so the "reference measurement" is
+established on planted-signal synthetic data: Y is a known function of X
+plus noise.  The torch replica of the reference stack
+(tools/baseline_torch.py — architecture per ``meg_decoding/models.py:341-383``
+incl. the per-sample subject-layer loop, CLIP loss per ``utils/loss.py:55-112``,
+Adam) and this framework train from the SAME transplanted initial weights on
+the SAME batch schedule with identical hyperparameters; final top-10
+retrieval accuracy (metric per ``models.py:437-445``) must agree closely.
+
+Round-2 finding recorded in RESULTS.md: with independent inits the two
+stacks can land >20 points apart on this small task (init luck under a
+retrieval objective), with transplanted inits they agree to ~2 points —
+so the anchor pins init as well as dynamics.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+import torch
+import torch.nn as nn
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from baseline_torch import BrainEncoder as TorchBrainEncoder  # noqa: E402
+from baseline_torch import clip_loss as torch_clip_loss  # noqa: E402
+
+from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+from meg_decoding_tpu.train.state import create_train_state
+from meg_decoding_tpu.train.steps import (
+    CollateConfig,
+    LossConfig,
+    make_train_step,
+)
+
+C, T, F = 12, 32, 24
+D1, D2, K = 16, 24, 4
+NSUB = 2
+N_TRAIN, N_TEST, BATCH = 4096, 512, 64
+STEPS = 1200
+LR, TEMP0 = 1e-3, 2.0
+
+
+def _t(x):
+    return torch.tensor(np.asarray(x))
+
+
+def _conv1d_w(k):  # flax (ks, in, out) → torch (out, in, ks)
+    return _t(np.transpose(np.asarray(k), (2, 1, 0)))
+
+
+def _dense_as_conv(k):  # flax Dense (in, out) → torch conv1d (out, in, 1)
+    return _t(np.asarray(k).T[:, :, None])
+
+
+def transplant_into_torch(params, tm: TorchBrainEncoder, n_sub: int):
+    """Copy a flax BrainEncoder param tree into the torch replica."""
+    with torch.no_grad():
+        sb = params["subject_block"]
+        tm.subject_block.sa.z_re.copy_(_t(sb["spatial_attention"]["z_re"]))
+        tm.subject_block.sa.z_im.copy_(_t(sb["spatial_attention"]["z_im"]))
+        tm.subject_block.conv.weight.copy_(_dense_as_conv(sb["conv"]["kernel"]))
+        tm.subject_block.conv.bias.copy_(_t(sb["conv"]["bias"]))
+        W = np.asarray(sb["subject_layer"]["weight"])
+        for s in range(n_sub):
+            tm.subject_block.subject_layer[s].weight.copy_(
+                _t(W[s].T[:, :, None]))
+        for kk in range(5):
+            blk, tblk = params[f"conv{kk}"], tm.blocks[kk]
+            for cname in ["conv0", "conv1", "conv2"]:
+                getattr(tblk, cname).weight.copy_(_conv1d_w(blk[cname]["kernel"]))
+                getattr(tblk, cname).bias.copy_(_t(blk[cname]["bias"]))
+            for bname in ["bn0", "bn1"]:
+                getattr(tblk, bname).weight.copy_(_t(blk[bname]["scale"]))
+                getattr(tblk, bname).bias.copy_(_t(blk[bname]["bias"]))
+        tm.f1.weight.copy_(_dense_as_conv(params["conv_final1"]["kernel"]))
+        tm.f1.bias.copy_(_t(params["conv_final1"]["bias"]))
+        tm.f2.weight.copy_(_dense_as_conv(params["conv_final2"]["kernel"]))
+        tm.f2.bias.copy_(_t(params["conv_final2"]["bias"]))
+
+
+def _top10(Z, Y):
+    """Reference retrieval metric (models.py:437-445): cosine similarity,
+    hit when the true index appears in the top 10."""
+    Z = Z / np.linalg.norm(Z, axis=1, keepdims=True)
+    Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    ranks = (-(Z @ Yn.T)).argsort(1)
+    return float(np.mean([i in ranks[i, :10] for i in range(len(Z))]))
+
+
+@pytest.mark.slow
+def test_planted_signal_top10_matches_torch_reference():
+    rng = np.random.RandomState(42)
+    loc = rng.rand(C, 2).astype(np.float32) * 0.8 + 0.1
+    W_plant = (rng.randn(C, F) * 2.0).astype(np.float32)
+
+    def planted(n):
+        X = rng.randn(n, C, T).astype(np.float32)
+        Y = (X.mean(-1) @ W_plant) + 0.05 * rng.randn(n, F).astype(np.float32)
+        return X, Y.astype(np.float32), rng.randint(0, NSUB, n)
+
+    Xtr, Ytr, Str = planted(N_TRAIN)
+    Xte, Yte, Ste = planted(N_TEST)
+    batch_idx = [rng.randint(0, N_TRAIN, BATCH) for _ in range(STEPS)]
+
+    # --- jax framework ----------------------------------------------------
+    model = BrainEncoder(loc=loc, num_subjects=NSUB, D1=D1, D2=D2, F=F, K=K,
+                         d_drop=0.0)
+    opt = optax.adam(LR)
+    state = create_train_state(
+        model, opt,
+        (jnp.asarray(Xtr[:BATCH]), jnp.asarray(Ytr[:BATCH]),
+         jnp.asarray(Str[:BATCH])),
+        jax.random.PRNGKey(0), init_temperature=TEMP0)
+
+    # --- torch replica, SAME initial weights --------------------------------
+    torch.manual_seed(0)
+    tm = TorchBrainEncoder(loc, d1=D1, d2=D2, f_dim=F, k_dim=K,
+                           num_subjects=NSUB)
+    transplant_into_torch(state.params["model"], tm, NSUB)
+    temp = nn.Parameter(torch.tensor(TEMP0))
+    topt = torch.optim.Adam(list(tm.parameters()) + [temp], lr=LR)
+
+    step = make_train_step(model, opt, LossConfig(kind="clip"),
+                           CollateConfig(enabled=False), donate=False)
+    jax_losses, torch_losses = [], []
+    for i in range(STEPS):
+        b = batch_idx[i]
+        state, m = step(state, jnp.asarray(Xtr[b]), jnp.asarray(Ytr[b]),
+                        jnp.asarray(Str[b]))
+        jax_losses.append(float(m["loss"]))
+    for i in range(STEPS):
+        b = batch_idx[i]
+        topt.zero_grad()
+        loss = torch_clip_loss(tm(_t(Xtr[b]), torch.tensor(Str[b])),
+                               _t(Ytr[b]), temp)
+        loss.backward()
+        topt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # transplant sanity: the very first loss must match to float tolerance
+    assert jax_losses[0] == pytest.approx(torch_losses[0], rel=1e-3)
+
+    variables = {"params": state.params["model"],
+                 "batch_stats": state.batch_stats}
+    Z = np.asarray(model.apply(variables, jnp.asarray(Xte), jnp.asarray(Ste),
+                               train=False))
+    tm.eval()
+    with torch.no_grad():
+        Zt = tm(_t(Xte), torch.tensor(Ste)).numpy()
+
+    acc_jax, acc_torch = _top10(Z, Yte), _top10(Zt, Yte)
+    print(f"accuracy anchor: jax top10={acc_jax:.4f} "
+          f"torch top10={acc_torch:.4f} diff={abs(acc_jax-acc_torch):.4f}")
+    # both stacks must have learned the planted signal...
+    assert acc_jax > 0.30 and acc_torch > 0.30, (acc_jax, acc_torch)
+    # ...and agree closely (measured 2.2 points at 1200 steps; the gate
+    # allows 5 to absorb estimator noise on the 512-sample eval set —
+    # binomial std alone is ~2.2 points at p≈0.4)
+    assert abs(acc_jax - acc_torch) <= 0.05, (acc_jax, acc_torch)

@@ -134,6 +134,24 @@ class TestVariants:
         assert np.isfinite(best2.get("train_loss", np.nan))
 
 
+class TestScanEpochsUnderMesh:
+    def test_god_scan_epochs_data_parallel(self, tmp_path):
+        """use_scan_epochs + data_parallel: the GOD scan fast path runs
+        data-parallel on the CPU mesh (VERDICT round-1 item 2 — no
+        single-chip gate left)."""
+        root = str(tmp_path / "d")
+        from meg_decoding_tpu.cli.train_god import run
+
+        cfg = _train_cfg(root, str(tmp_path / "o"))
+        cfg.epochs = 2
+        cfg.updates = 3
+        cfg.use_scan_epochs = True
+        cfg.data_parallel = True
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        assert best.get("test_top10", 0) > 0
+
+
 class TestCVMode:
     def test_fixed_index_cv_split_trains(self, tmp_path):
         """training_mode=cv: the reference's fixed-index split over packed

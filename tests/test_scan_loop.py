@@ -76,6 +76,39 @@ class TestScanEpoch:
         # different random index streams, same distribution → same ballpark
         assert a == pytest.approx(b, rel=0.5)
 
+    def test_sharded_matches_single_device(self):
+        """GOD-style scan-epoch under a 4-device mesh == the same epoch on
+        one device: data is replicated so the sampled batches are identical;
+        equality holds to float-reduction tolerance (sharded-CLIP psum)."""
+        from meg_decoding_tpu.core.mesh import make_mesh, replicated
+
+        ds = _toy(seed=3)
+        mesh = make_mesh(n_data=4, devices=jax.devices("cpu")[:4])
+        model = LinearEncoder(scp=True, out_dim=16)
+        opt = optax.sgd(1e-2)
+        lc, cc = LossConfig(kind="clip"), CollateConfig(enabled=False)
+        updates, bs = 4, 16
+        key = jax.random.PRNGKey(11)
+
+        def init():
+            return create_train_state(model, opt, ds.gather(np.arange(16)),
+                                      jax.random.PRNGKey(0))
+
+        epoch_m = make_scan_epoch(model, opt, lc, cc, ds, updates, bs,
+                                  mesh=mesh)
+        state_m = jax.device_put(init(), replicated(mesh))
+        state_m, mm = epoch_m(state_m, key)
+
+        epoch_s = make_scan_epoch(model, opt, lc, cc, ds, updates, bs)
+        state_s, ms = epoch_s(init(), key)
+
+        np.testing.assert_allclose(float(mm["loss"]), float(ms["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(state_m.params),
+                        jax.tree_util.tree_leaves(state_s.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
     def test_gwilliams_scan_epoch(self, tmp_path):
         cfg = make_gwilliams_cache(str(tmp_path / "cache"))
         cfg.seq2seq = True
