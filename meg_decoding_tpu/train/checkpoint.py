@@ -5,11 +5,21 @@ Reference saves only ``state_dict`` → ``model_last.pt`` each epoch and
 ``train_wowandb_cv.py:349-357``); eval prefers best, falls back to last
 (``eval_wowandb_cv.py:213-221``).  Same last/best layout here, but the
 checkpoint carries everything needed for exact resume (SURVEY §5.4 gap).
+
+Corruption resilience (SURVEY §5.3 — the reference has none): every save is
+double-buffered.  The new checkpoint is written beside the old one
+(``<name>.new``), then the generations rotate with atomic directory renames —
+the previous complete checkpoint survives as ``<name>.old`` until the next
+save.  A crash at ANY point leaves at least one complete generation on disk,
+and ``restore`` transparently falls back ``name → name.old → name.new`` when
+the preferred generation is missing or unreadable.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import warnings
 from typing import Any
 
 import orbax.checkpoint as ocp
@@ -27,17 +37,50 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, name)
 
     def save(self, name: str, state: Any):
-        path = self._path(name)
-        self._ckptr.save(path, state, force=True)
+        """Double-buffered save: write ``<name>.new`` fully, then rotate
+        ``<name>`` → ``<name>.old`` → deleted.  The previous complete
+        checkpoint is never touched until the new one is on disk."""
+        new, cur, old = (self._path(name + ".new"), self._path(name),
+                         self._path(name + ".old"))
+        self._ckptr.save(new, state, force=True)
         self._ckptr.wait_until_finished()
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(cur):
+            os.rename(cur, old)
+        os.rename(new, cur)
 
     def restore(self, name: str, abstract_state: Any):
         """Restore into the structure of ``abstract_state`` (a concrete state
-        with the right shapes/dtypes, e.g. a freshly initialized one)."""
-        return self._ckptr.restore(self._path(name), abstract_state)
+        with the right shapes/dtypes, e.g. a freshly initialized one).
+
+        Falls back to the previous generation (``<name>.old``, or a completed
+        ``<name>.new`` left by a crash between write and rotation) when the
+        preferred directory is missing or fails to load."""
+        errors = []
+        for cand in (name, name + ".old", name + ".new"):
+            path = self._path(cand)
+            if not os.path.isdir(path):
+                continue
+            try:
+                restored = self._ckptr.restore(path, abstract_state)
+            except Exception as e:  # corrupt/partial generation: try older
+                errors.append(f"{cand}: {type(e).__name__}: {e}")
+                continue
+            if cand != name:
+                warnings.warn(
+                    f"checkpoint '{name}' unreadable "
+                    f"({'; '.join(errors) or 'missing'}); restored previous "
+                    f"generation '{cand}'")
+            return restored
+        raise FileNotFoundError(
+            f"no restorable checkpoint '{name}' under {self.ckpt_dir}"
+            + (f" (errors: {'; '.join(errors)})" if errors else ""))
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(self._path(name))
+        """True when any restorable generation of ``name`` is present."""
+        return any(os.path.isdir(self._path(n))
+                   for n in (name, name + ".old", name + ".new"))
 
     def load_best_or_last(self, abstract_state: Any):
         """Eval-side preference: best, else last (eval_wowandb_cv.py:213-221)."""

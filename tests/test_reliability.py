@@ -117,6 +117,60 @@ def _tiny_model_for_eval():
     return BrainEncoder(loc=loc, num_subjects=2, D1=8, D2=12, F=16, K=4)
 
 
+class TestCheckpointCorruptionResilience:
+    """Double-buffered checkpoint generations (SURVEY §5.3): a corrupt or
+    half-written model_last must not lose the run — restore falls back to the
+    previous complete generation."""
+
+    def _state_with_step(self, step):
+        state, train, _ = _tiny_setup()
+        return state.replace(step=jnp.asarray(step)), train
+
+    def test_save_keeps_previous_generation(self, tmp_path):
+        from meg_decoding_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        state, _ = self._state_with_step(1)
+        ckpt.save("model_last", state)
+        state2, _ = self._state_with_step(2)
+        ckpt.save("model_last", state2)
+        assert os.path.isdir(str(tmp_path / "ckpt" / "model_last"))
+        assert os.path.isdir(str(tmp_path / "ckpt" / "model_last.old"))
+        restored = ckpt.restore("model_last", state)
+        assert int(restored.step) == 2
+
+    def test_corrupt_latest_falls_back_to_old(self, tmp_path):
+        import shutil
+
+        from meg_decoding_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        state1, _ = self._state_with_step(1)
+        ckpt.save("model_last", state1)
+        state2, _ = self._state_with_step(2)
+        ckpt.save("model_last", state2)
+
+        # corrupt the newest generation the way a crash would: drop payload
+        latest = str(tmp_path / "ckpt" / "model_last")
+        for entry in os.listdir(latest):
+            p = os.path.join(latest, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+        with pytest.warns(UserWarning, match="restored previous generation"):
+            restored = ckpt.restore("model_last", state1)
+        assert int(restored.step) == 1  # previous generation's state
+        assert ckpt.exists("model_last")
+
+    def test_missing_everything_raises(self, tmp_path):
+        from meg_decoding_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        state, _ = self._state_with_step(0)
+        assert not ckpt.exists("model_last")
+        with pytest.raises(FileNotFoundError):
+            ckpt.restore("model_last", state)
+
+
 class TestTestPoolSweep:
     def test_pools_cover_split_exactly(self):
         from meg_decoding_tpu.train.loop import _test_pool_starts
