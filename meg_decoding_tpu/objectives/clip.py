@@ -27,14 +27,28 @@ EPS = 1e-12
 
 
 def _normalize(v: jnp.ndarray) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), EPS)
+    """L2-normalize over every non-batch axis WITHOUT flattening: a
+    (B, F, T) → (B, F·T) reshape forces XLA layout copies in both the
+    forward and backward pass (~2 ms/step at seq2seq scale on v5e,
+    tools/profile_step.py); reducing over the trailing axes in place does
+    the same math with zero data movement."""
+    axes = tuple(range(1, v.ndim))
+    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
+    return v / jnp.maximum(norm, EPS)
+
+
+def _cosine_logits(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """(B, ...) × (B, ...) → (B, B) by contracting all non-batch axes in one
+    ``dot_general`` — no flatten, no relayout."""
+    axes = tuple(range(1, x.ndim))
+    return jax.lax.dot_general(
+        x, y, dimension_numbers=((axes, axes), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def clip_logits(x: jnp.ndarray, y: jnp.ndarray, temp: jnp.ndarray) -> jnp.ndarray:
     """Temperature-scaled cosine-similarity logits (B, B)."""
-    x = _normalize(x.reshape(x.shape[0], -1))
-    y = _normalize(y.reshape(y.shape[0], -1))
-    logits = jnp.dot(x, y.T, preferred_element_type=jnp.float32)
+    logits = _cosine_logits(_normalize(x), _normalize(y))
     return logits * jnp.exp(temp)
 
 

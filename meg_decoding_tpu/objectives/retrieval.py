@@ -42,6 +42,23 @@ def _topk_contains(sim: jnp.ndarray, targets: jnp.ndarray, k: int) -> jnp.ndarra
     return jnp.any(top_idx == targets[:, None], axis=-1)
 
 
+def retrieval_accuracy_from_sim(sim: jnp.ndarray, top_ks=(1, 10)):
+    """Top-k diagonal retrieval given a precomputed (B, B) similarity whose
+    rows are Y and columns Z (the reference's transposed orientation,
+    ``models.py:432``).  Any positively-scaled similarity gives identical
+    rankings — in particular the CLIP loss's temperature-scaled logits
+    (``clip_loss(Y, Z, return_logits=True)``), which the train step reuses
+    so the metrics cost no second normalize + matmul."""
+    targets = jnp.arange(sim.shape[0])
+    out = {}
+    for k in top_ks:
+        if k == 1:
+            out["top1"] = jnp.mean(jnp.argmax(sim, axis=1) == targets)
+        else:
+            out[f"top{k}"] = jnp.mean(_topk_contains(sim, targets, k))
+    return out
+
+
 def retrieval_accuracy(Z, Y, top_ks=(1, 10)):
     """Diagonal retrieval accuracy: for matched batches (Z_i ↔ Y_i), the
     fraction of rows whose own column ranks in the top-k.
@@ -51,14 +68,7 @@ def retrieval_accuracy(Z, Y, top_ks=(1, 10)):
     here exactly.  Returns dict {f'top{k}': acc}.
     """
     sim = cosine_similarity_matrix(Z, Y).T  # (B, B): rows = Y, cols = Z
-    targets = jnp.arange(sim.shape[0])
-    out = {}
-    for k in top_ks:
-        if k == 1:
-            out["top1"] = jnp.mean(jnp.argmax(sim, axis=1) == targets)
-        else:
-            out[f"top{k}"] = jnp.mean(_topk_contains(sim, targets, k))
-    return out
+    return retrieval_accuracy_from_sim(sim, top_ks)
 
 
 def zero_shot_classification(Z, gallery, labels, top_ks=(1, 10)):

@@ -44,7 +44,8 @@ def pad_time_for_gather(T: int, length: int) -> int:
     return ((T + W + _LANE - 1) // _LANE) * _LANE
 
 
-def _kernel(rec_ids_ref, onsets_ref, src_ref, out_ref, scratch, sem):
+def _kernel(rec_ids_ref, onsets_ref, src_ref, out_ref, scratch, sem, *,
+            realign: str):
     b = pl.program_id(0)
     length = out_ref.shape[2]
     W = scratch.shape[1]
@@ -60,21 +61,28 @@ def _kernel(rec_ids_ref, onsets_ref, src_ref, out_ref, scratch, sem):
     copy.start()
     copy.wait()
 
-    # realign by `off` ∈ [0, 128): one-hot shift matmul on the MXU.
-    # HIGHEST precision: the default rounds matmul inputs to bf16, turning
-    # this exact selection into a lossy copy (~1e-2 abs error observed).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (W, length), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (W, length), 1)
-    shift = (rows == cols + off).astype(scratch.dtype)
-    out_ref[0] = jax.lax.dot(scratch[:], shift,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32
-                             ).astype(out_ref.dtype)
+    # realign by `off` ∈ [0, 128).  Two exact strategies:
+    # * 'roll' (default): dynamic lane rotation + static slice — a pure VPU
+    #   shuffle, ~2× faster than the matmul at C=1024 (tools/profile_step.py)
+    # * 'matmul': one-hot shift matmul on the MXU.  HIGHEST precision: the
+    #   default rounds inputs to bf16, turning this exact selection into a
+    #   lossy copy (~1e-2 abs error observed).
+    if realign == "roll":
+        out_ref[0] = pltpu.roll(scratch[:], -off, 1)[:, :length]
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (W, length), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (W, length), 1)
+        shift = (rows == cols + off).astype(scratch.dtype)
+        out_ref[0] = jax.lax.dot(scratch[:], shift,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32
+                                 ).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("length", "interpret"))
+@partial(jax.jit, static_argnames=("length", "interpret", "realign"))
 def window_gather(src: jnp.ndarray, rec_ids: jnp.ndarray, onsets: jnp.ndarray,
-                  length: int, interpret: bool | None = None) -> jnp.ndarray:
+                  length: int, interpret: bool | None = None,
+                  realign: str = "roll") -> jnp.ndarray:
     """src (R, C, T), rec_ids (B,), onsets (B,) → (B, C, length).
 
     T must satisfy ``T ≥ pad_time_for_gather(max_onset + length, length)``
@@ -104,7 +112,7 @@ def window_gather(src: jnp.ndarray, rec_ids: jnp.ndarray, onsets: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        partial(_kernel, realign=realign),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, length), src.dtype),
         interpret=interpret,

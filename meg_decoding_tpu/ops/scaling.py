@@ -50,7 +50,12 @@ def robust_scale(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     ``scale_ = 1`` fallback for zero-variance features.
     """
     x_moved = jnp.moveaxis(x, axis, -1)
-    xs = jnp.sort(x_moved, axis=-1)
+    # keys-only unstable sort: jnp.sort's default stable sort makes XLA carry
+    # an s32 iota companion through the whole (B, C, T) sort — measured 2×
+    # the cost on v5e (tools/profile_step.py); percentiles don't need
+    # stability (equal keys are interchangeable)
+    (xs,) = jax.lax.sort((x_moved,), dimension=x_moved.ndim - 1,
+                         is_stable=False)
     med = _percentile_sorted(xs, 50.0)
     q25 = _percentile_sorted(xs, 25.0)
     q75 = _percentile_sorted(xs, 75.0)

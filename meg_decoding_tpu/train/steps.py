@@ -61,6 +61,12 @@ def _l2_penalty(params) -> jnp.ndarray:
 
 def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
                   gallery=None, gallery_self_sim=None, train=True, mesh=None):
+    """Returns ``(loss, sim)`` where ``sim`` is the CLIP logits matrix
+    (rows = Y, cols = Z) when the loss already computed one, else None —
+    the train step reuses it for retrieval metrics (rankings are invariant
+    to the positive temperature scale), saving a second full-embedding
+    normalize + (B, B) matmul per step."""
+    sim = None
     if loss_cfg.kind == "clip":
         if mesh is not None:
             # explicit sharded-CLIP collectives (all-gather embeddings over
@@ -71,7 +77,8 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
             loss = clip_loss_sharded(Y, Z, temp, mesh,
                                      reduction=loss_cfg.reduction)
         else:
-            loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction)
+            sim, loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction,
+                                  return_logits=True)
         if loss_cfg.same_label_weight > 0.0 and labels is not None:
             loss = loss + loss_cfg.same_label_weight * same_label_loss(Z, labels)
     elif loss_cfg.kind == "mse":
@@ -89,7 +96,7 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
         raise ValueError(loss_cfg.kind)
     if loss_cfg.l2_weight > 0.0:
         loss = loss + loss_cfg.l2_weight * _l2_penalty(params["model"])
-    return loss
+    return loss, sim
 
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
@@ -125,12 +132,13 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             else:
                 Z = model.apply(variables, X, subject_idxs, train=True, rngs=rngs)
                 new_batch_stats = {}
-            loss = _compute_loss(loss_cfg, Z, Y, labels, params["loss"]["temp"],
-                                 params, gallery, gallery_self_sim, train=True,
-                                 mesh=mesh)
-            return loss, (Z, new_batch_stats)
+            loss, sim = _compute_loss(loss_cfg, Z, Y, labels,
+                                      params["loss"]["temp"], params, gallery,
+                                      gallery_self_sim, train=True, mesh=mesh)
+            sim = None if sim is None else jax.lax.stop_gradient(sim)
+            return loss, (Z, sim, new_batch_stats)
 
-        (loss, (Z, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (Z, sim, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
         # failure detection (SURVEY §5.3 — the reference has none): a batch
@@ -158,8 +166,17 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             # utils/vis_grad.py:4-6 printed per-module grad sums)
             metrics["grad_norm"] = jnp.where(ok, gnorm, 0.0)
         # the reference skeleton tracks retrieval top-k in every variant
-        # (train_my_classifier.py shares train.py's metric loop)
-        acc = retrieval_accuracy(Z, Y, top_ks=(1, 10))
+        # (train_my_classifier.py shares train.py's metric loop); reuse the
+        # loss's logits when available — same matrix up to the positive
+        # temperature scale, so identical rankings at zero extra compute
+        if sim is not None:
+            from meg_decoding_tpu.objectives.retrieval import (
+                retrieval_accuracy_from_sim,
+            )
+
+            acc = retrieval_accuracy_from_sim(sim, top_ks=(1, 10))
+        else:
+            acc = retrieval_accuracy(Z, Y, top_ks=(1, 10))
         metrics.update({k: jnp.where(ok, v, 0.0) for k, v in acc.items()})
         new_state = TrainState(
             params=new_params, batch_stats=new_bs, opt_state=new_opt_state,
@@ -185,10 +202,18 @@ def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         Z = model.apply(variables, X, subject_idxs, train=False)
-        loss = _compute_loss(loss_cfg, Z, Y, labels, params["loss"]["temp"],
-                             params, gallery, gallery_self_sim, train=False)
+        loss, sim = _compute_loss(loss_cfg, Z, Y, labels,
+                                  params["loss"]["temp"], params, gallery,
+                                  gallery_self_sim, train=False)
         metrics = {"loss": loss, "temp": params["loss"]["temp"]}
-        metrics.update(retrieval_accuracy(Z, Y, top_ks=top_ks))
+        if sim is not None:
+            from meg_decoding_tpu.objectives.retrieval import (
+                retrieval_accuracy_from_sim,
+            )
+
+            metrics.update(retrieval_accuracy_from_sim(sim, top_ks=top_ks))
+        else:
+            metrics.update(retrieval_accuracy(Z, Y, top_ks=top_ks))
         return metrics, Z
 
     return jax.jit(eval_step)

@@ -212,10 +212,10 @@ class TestClassificationLabelOffset:
         good = float(_compute_loss(
             LossConfig(kind="classification", label_offset=1),
             jnp.array(Z_src), None, jnp.array(labels), jnp.array(2.0),
-            {"model": {}}, gallery=jnp.array(gallery), train=False))
+            {"model": {}}, gallery=jnp.array(gallery), train=False)[0])
         bad = float(_compute_loss(
             LossConfig(kind="classification", label_offset=0),
             jnp.array(Z_src), None, jnp.array(labels), jnp.array(2.0),
-            {"model": {}}, gallery=jnp.array(gallery), train=False))
+            {"model": {}}, gallery=jnp.array(gallery), train=False)[0])
         assert good < bad  # aligned labels give (much) lower CE
         assert good < 0.5

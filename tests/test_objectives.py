@@ -55,6 +55,38 @@ class TestClipLoss:
         expect = float((ce(logits, targets) + ce(logits.t(), targets)) / 2)
         assert got == pytest.approx(expect, rel=1e-5)
 
+    def test_seq2seq_logits_match_flattened_oracle(self):
+        """clip_logits contracts (B, F, T) trailing axes in one dot_general
+        (no flatten/relayout); must equal the flatten-then-matmul oracle."""
+        rng = np.random.RandomState(3)
+        x = rng.randn(6, 8, 10).astype(np.float32)
+        y = rng.randn(6, 8, 10).astype(np.float32)
+        got = np.asarray(clip_logits(jnp.array(x), jnp.array(y),
+                                     jnp.array(1.3)))
+        xf = x.reshape(6, -1)
+        yf = y.reshape(6, -1)
+        xf = xf / np.linalg.norm(xf, axis=-1, keepdims=True)
+        yf = yf / np.linalg.norm(yf, axis=-1, keepdims=True)
+        expect = (xf @ yf.T) * np.exp(1.3)
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+    def test_train_metrics_from_loss_logits_match_explicit(self):
+        """The train step reuses the CLIP logits for retrieval metrics; the
+        numbers must equal the explicit cosine-matrix path."""
+        from meg_decoding_tpu.objectives.retrieval import (
+            retrieval_accuracy_from_sim,
+        )
+
+        rng = np.random.RandomState(4)
+        Z = rng.randn(32, 24).astype(np.float32)
+        Y = rng.randn(32, 24).astype(np.float32)
+        # rows = Y, cols = Z — clip_loss(Y, Z) logits orientation
+        sim = clip_logits(jnp.array(Y), jnp.array(Z), jnp.array(5.1))
+        got = retrieval_accuracy_from_sim(sim)
+        expect = retrieval_accuracy(jnp.array(Z), jnp.array(Y))
+        for k in expect:
+            assert float(got[k]) == float(expect[k]), k
+
     def test_module_has_trainable_temp(self):
         x, y = _xy(8, 16)
         mod = CLIPLoss(init_temperature=5.1)
