@@ -77,6 +77,10 @@ def run(cfg: Config) -> dict:
             mean_Y=source.mean_Y, std_Y=source.std_Y,
         )
     cfg.num_subjects = source.num_subjects
+    if cfg.get("host_resident", False):
+        # spill path for datasets exceeding HBM: epochs stay in host RAM and
+        # stream through the double-buffered prefetch pipeline (train/loop.py)
+        train_set = train_set.to_host()
 
     # ---- model ----------------------------------------------------------
     roi_channels = roi(cfg)
@@ -123,9 +127,11 @@ def run(cfg: Config) -> dict:
 
     state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
 
-    if cfg.get("use_scan_epochs", False) and not with_labels:
+    if (cfg.get("use_scan_epochs", False) and not with_labels
+            and not cfg.get("host_resident", False)):
         # whole-epoch scan fast path (single-chip or data-parallel;
-        # labels/classification use the per-step driver)
+        # labels/classification and the host-spill path use the per-step
+        # driver)
         from meg_decoding_tpu.train.loop import fit_scan
         from meg_decoding_tpu.train.scan_loop import make_scan_epoch
 

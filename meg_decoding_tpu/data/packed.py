@@ -42,13 +42,33 @@ class PackedDataset:
     def __len__(self) -> int:
         return int(self.X.shape[0])
 
+    @property
+    def host_resident(self) -> bool:
+        return isinstance(self.X, np.ndarray)
+
     def gather(self, idx) -> tuple:
-        """Index a batch; idx may be a host or device int array."""
-        idx = jnp.asarray(idx)
+        """Index a batch; idx may be a host or device int array.  On a
+        host-resident dataset (``to_host``) this is a numpy slice — the
+        batch is then moved to device by the prefetch pipeline
+        (``data/prefetch.py``), not here."""
+        idx = np.asarray(idx) if self.host_resident else jnp.asarray(idx)
         out = [self.X[idx], self.Y[idx], self.subject_idxs[idx]]
         if self.labels is not None:
             out.append(self.labels[idx])
         return tuple(out)
+
+    def to_host(self) -> "PackedDataset":
+        """Spill the packed arrays to host RAM (numpy) for datasets that
+        exceed HBM; train with ``prefetch: N`` so the host→device copy of
+        each batch rides under the previous step's compute (SURVEY §2.11
+        'host→device prefetch pipeline')."""
+        return dataclasses.replace(
+            self,
+            X=np.asarray(self.X),
+            Y=np.asarray(self.Y),
+            subject_idxs=np.asarray(self.subject_idxs),
+            labels=None if self.labels is None else np.asarray(self.labels),
+        )
 
     def subset(self, idx) -> "PackedDataset":
         idx = np.asarray(idx)

@@ -129,6 +129,14 @@ def fit(
     # resumed run replays the exact batches a continuous run would have
     stochastic_train = getattr(train_set, "stochastic", False)
 
+    # spill path: a host-resident dataset (PackedDataset.to_host) streams
+    # batches through the double-buffered prefetch pipeline so the
+    # host→device copy overlaps the running step (SURVEY §2.11; replaces
+    # the reference's DataLoader workers).  `prefetch: N` sets the buffer
+    # depth (default 2 when the dataset lives on host).
+    host_resident = bool(getattr(train_set, "host_resident", False))
+    prefetch_n = int(cfg.get("prefetch", 2 if host_resident else 0) or 0)
+
     for epoch in range(start_epoch, epochs):
         # derived purely from (seed, epoch) so a resumed run samples the
         # exact batches the continuous run would have
@@ -140,8 +148,7 @@ def fit(
         else:
             idx_epoch = shuffle_batches(ekey, len(train_set), batch_size)
 
-        train_hist = []
-        with profile_trace(profile_dir if epoch == profile_epoch else None):
+        def gathered_batches():
             for step_i, idx in enumerate(idx_epoch):
                 with timer.phase("gather"):
                     if stochastic_train:
@@ -149,8 +156,22 @@ def fit(
                             idx, key=jax.random.fold_in(gkey, step_i))
                     else:
                         batch = train_set.gather(idx)
-                    if shard_fn is not None:
-                        batch = shard_fn(batch)
+                yield batch
+
+        if prefetch_n > 0:
+            from meg_decoding_tpu.data.prefetch import prefetch_to_device
+
+            put = shard_fn if shard_fn is not None else jax.device_put
+            batch_iter = prefetch_to_device(gathered_batches(),
+                                            size=prefetch_n, device_put=put)
+        elif shard_fn is not None:
+            batch_iter = map(shard_fn, gathered_batches())
+        else:
+            batch_iter = gathered_batches()
+
+        train_hist = []
+        with profile_trace(profile_dir if epoch == profile_epoch else None):
+            for batch in batch_iter:
                 with timer.phase("step"):
                     if with_labels and len(batch) == 4:
                         X, Y, subs, labels = batch

@@ -67,3 +67,56 @@ class TestPrefetch:
     def test_size_validation(self):
         with pytest.raises(ValueError):
             list(prefetch_to_device(iter([]), size=0))
+
+
+class TestHostResidentTraining:
+    def test_spill_path_matches_device_resident_run(self, tmp_path):
+        """GOD trainer with host_resident: true (epochs in host RAM, batches
+        streamed through the prefetch pipeline) must log exactly the same
+        metrics as the default device-resident run — same batches, same
+        math, only the transfer path differs."""
+        import json
+        import os
+
+        from tests.fixtures import make_god_fixture
+        from meg_decoding_tpu.cli.train_god import run
+
+        def _cfg(save_root, host):
+            cfg = make_god_fixture(str(tmp_path / "d"),
+                                   subjects=("sbj01", "sbj02"))
+            cfg.save_root = save_root
+            cfg.training_mode = "split"
+            cfg.use_sampler = True
+            cfg.batch_size = 16
+            cfg.updates = 4
+            cfg.epochs = 2
+            cfg.test_size = 16
+            cfg.lr = 1e-3
+            cfg.lr_scheduler = "none"
+            cfg.reduction = "mean"
+            cfg.init_temperature = 5.1
+            cfg.model = "linear"
+            cfg.F = 16
+            cfg.scp = True
+            cfg.num_subjects = 2
+            cfg.seed = 0
+            cfg.host_resident = host
+            return cfg
+
+        def _rows(save_root):
+            runs = os.listdir(os.path.join(save_root, "runs"))
+            rows = []
+            for r in sorted(runs):
+                p = os.path.join(save_root, "runs", r, "metrics.jsonl")
+                rows += [json.loads(l) for l in open(p)]
+            return rows
+
+        run(_cfg(str(tmp_path / "dev"), host=False))
+        run(_cfg(str(tmp_path / "host"), host=True))
+        a, b = _rows(str(tmp_path / "dev")), _rows(str(tmp_path / "host"))
+        assert len(a) == len(b) == 2
+        for ra, rb in zip(a, b):
+            for k in ra:
+                if k.endswith("_ms"):
+                    continue
+                assert ra[k] == rb[k], (k, ra[k], rb[k])
