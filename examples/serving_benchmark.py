@@ -1,0 +1,86 @@
+"""Serving-path latency benchmark: AOT-compiled flagship forward on TPU.
+
+The reference has no serving story (inference = ``examples/inference.py``
+batch dumps).  For production serving the relevant numbers are per-request
+latency at small batch and saturated throughput at large batch, with the
+model compiled ahead of time (``jax.jit(...).lower().compile()``) so the
+first request never pays tracing/compilation.
+
+Run: ``python examples/serving_benchmark.py [--batches 1,8,64]``
+Prints one JSON line per batch size: {batch, p50_ms, p90_ms, samples_per_sec}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,8,64")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--seq2seq", action="store_true",
+                    help="seq2seq head (speech); default mean-pooled (GOD-style)")
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from meg_decoding_tpu.data.layout import (
+        normalize_locations,
+        synthetic_cap_locations,
+    )
+    from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+
+    C, T, F = 208, 360, 1024
+    loc = normalize_locations(synthetic_cap_locations(C))
+    model = BrainEncoder(loc=loc, num_subjects=27, D1=270, D2=320, F=F, K=32,
+                        seq2seq=args.seq2seq)
+    rng = np.random.RandomState(0)
+    X1 = jnp.asarray(rng.randn(1, C, T), jnp.float32)
+    subs1 = jnp.zeros((1,), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "spatial": jax.random.PRNGKey(1)}, X1, subs1)
+
+    def forward(X, subs):
+        return model.apply(variables, X, subs, train=False)
+
+    for B in [int(b) for b in args.batches.split(",")]:
+        X = jnp.asarray(rng.randn(B, C, T), jnp.float32)
+        subs = jnp.asarray(rng.randint(0, 27, B))
+        # AOT: trace + lower + compile before the first request
+        compiled = jax.jit(forward).lower(X, subs).compile()
+        np.asarray(compiled(X, subs))  # warmup execution
+        lat = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = compiled(X, subs)
+            np.asarray(out[:1, :1])  # force completion (serving = sync reply)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.array(lat) * 1e3
+        # shared-chip relay: report percentiles over many one-request windows
+        print(json.dumps({
+            "batch": B,
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+            "p90_ms": round(float(np.percentile(lat_ms, 90)), 3),
+            "best_ms": round(float(lat_ms.min()), 3),
+            "samples_per_sec_at_p50": round(
+                B / float(np.percentile(lat_ms, 50)) * 1e3, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

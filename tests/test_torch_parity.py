@@ -89,6 +89,71 @@ def _dense_as_conv(kernel):  # flax Dense (in, out) → torch conv1d (out, in, 1
     return _t(np.asarray(kernel).T[:, :, None])
 
 
+class TorchEEGNet(nn.Module):
+    """Test-only oracle: the reference EEGNet (``models.py:32-94``) in torch
+    NCHW, matched to ``meg_decoding_tpu/models/eegnet.py``'s NHWC layout."""
+
+    def __init__(self, C_, T_, F1, D, F2, k1, k2, p1, p2, out_dim):
+        super().__init__()
+        self.p1, self.p2 = p1, p2
+        self.conv1 = nn.Conv2d(1, F1, (1, k1), padding="same", bias=False)
+        self.bn1 = nn.BatchNorm2d(F1)
+        self.conv2 = nn.Conv2d(F1, D * F1, (C_, 1), groups=F1, bias=False)
+        self.bn2 = nn.BatchNorm2d(D * F1)
+        self.conv3_dw = nn.Conv2d(D * F1, D * F1, (1, k2), groups=D * F1,
+                                  padding="same", bias=False)
+        self.conv3_pw = nn.Conv2d(D * F1, F2, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(F2)
+        n_flat = F2 * (T_ // p1 // p2)
+        self.classifier = nn.Linear(n_flat, out_dim)
+
+    def forward(self, X):
+        h = X.unsqueeze(1)  # (B, 1, C, T)
+        h = self.bn1(self.conv1(h))
+        h = TF.elu(self.bn2(self.conv2(h)))
+        h = TF.avg_pool2d(h, (1, self.p1))
+        h = TF.elu(self.bn3(self.conv3_pw(self.conv3_dw(h))))
+        h = TF.avg_pool2d(h, (1, self.p2))
+        # flatten in the flax NHWC order so the Dense transplant lines up
+        h = h.permute(0, 2, 3, 1).flatten(1)
+        return self.classifier(h)
+
+
+def _conv2d_w(kernel):  # flax (kh, kw, in/g, out) → torch (out, in/g, kh, kw)
+    return _t(np.transpose(np.asarray(kernel), (3, 2, 0, 1)))
+
+
+def test_eegnet_matches_torch_replica():
+    from meg_decoding_tpu.models.eegnet import EEGNet
+
+    C_, T_, B_ = 16, 64, 6
+    F1, D, F2, k1, k2, p1, p2, out = 4, 2, 8, 10, 4, 2, 4, 32
+    model = EEGNet(num_channels=C_, T=T_, F1=F1, D=D, F2=F2, k1=k1, k2=k2,
+                   p1=p1, p2=p2, out_dim=out)
+    rng = np.random.RandomState(1)
+    X = rng.randn(B_, C_, T_).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(X))
+    p = variables["params"]
+
+    tm = TorchEEGNet(C_, T_, F1, D, F2, k1, k2, p1, p2, out)
+    with torch.no_grad():
+        tm.conv1.weight.copy_(_conv2d_w(p["conv1"]["kernel"]))
+        tm.conv2.weight.copy_(_conv2d_w(p["conv2"]["kernel"]))
+        tm.conv3_dw.weight.copy_(_conv2d_w(p["conv3_dw"]["kernel"]))
+        tm.conv3_pw.weight.copy_(_conv2d_w(p["conv3_pw"]["kernel"]))
+        for bn in ("bn1", "bn2", "bn3"):
+            getattr(tm, bn).weight.copy_(_t(p[bn]["scale"]))
+            getattr(tm, bn).bias.copy_(_t(p[bn]["bias"]))
+        tm.classifier.weight.copy_(_t(np.asarray(p["classifier"]["kernel"]).T))
+        tm.classifier.bias.copy_(_t(p["classifier"]["bias"]))
+
+    Z = np.asarray(model.apply(variables, jnp.asarray(X), train=False))
+    tm.eval()
+    with torch.no_grad():
+        Zt = tm(_t(X)).numpy()
+    np.testing.assert_allclose(Z, Zt, rtol=1e-4, atol=1e-4)
+
+
 def test_full_encoder_matches_torch_replica():
     loc = _loc()
     model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K)
