@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["load_wav2vec", "embed_last4_avg", "embed_features", "w2v_output_rate"]
@@ -63,10 +64,35 @@ def load_wav2vec(model_name: str = "facebook/wav2vec2-large-xlsr-53",
 
 
 def _forward_hidden(model, params, wav_chunk: jnp.ndarray):
-    """All hidden states for one (1, T) waveform chunk."""
+    """All hidden states for one (1, T) waveform chunk (eager, one-off)."""
     out = model(wav_chunk[None, :], params=params, output_hidden_states=True,
                 train=False)
     return out.hidden_states  # tuple of (1, T', H)
+
+
+_FWD_CACHE: dict = {}
+
+
+def _jitted_last4(model):
+    """Per-model cached jitted chunk forward: a fresh ``jax.jit`` wrapper
+    re-traces the 24-layer model on every call (~1.5 s of pure Python), so
+    the wrapper must live as long as the model."""
+    fn = _FWD_CACHE.get(id(model))
+    if fn is None:
+        fn = jax.jit(lambda p, w, m: jnp.mean(jnp.stack(
+            model(w[None], attention_mask=m[None], params=p,
+                  output_hidden_states=True, train=False).hidden_states[-4:]),
+            axis=0)[0])
+        _FWD_CACHE[id(model)] = fn
+    return fn
+
+
+def _num_frames(config, n_samples: int) -> int:
+    """Conv-stack output length for ``n_samples`` input samples."""
+    n = n_samples
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        n = (n - k) // s + 1
+    return n
 
 
 def embed_last4_avg(model, params, waveform: np.ndarray,
@@ -76,9 +102,15 @@ def embed_last4_avg(model, params, waveform: np.ndarray,
 
     Overlap-chunked to bound memory; interiors are stitched so chunk
     boundaries don't imprint (unlike reference ``wav2vec_util.py:22-24``).
+
+    TPU-first: every chunk goes through ONE jitted fixed-shape forward (the
+    final short chunk is zero-padded and attention-masked, with only its
+    valid conv frames emitted) — one compile per chunk size, not an eager
+    op-by-op dispatch per chunk.  ``params`` is a jit ARGUMENT: closing over
+    ~1.2 GB of weights would bake them into the HLO (see CLAUDE.md).
     """
     waveform = np.asarray(waveform, dtype=np.float32).reshape(-1)
-    stride = 320  # wav2vec2 conv-stack hop in samples
+    stride = int(np.prod(model.config.conv_stride))  # 320 for wav2vec2
     chunk = (int(chunk_sec * sample_rate) // stride) * stride
     T = len(waveform)
     if T <= chunk:
@@ -86,25 +118,35 @@ def embed_last4_avg(model, params, waveform: np.ndarray,
         emb = jnp.mean(jnp.stack(hs[-4:]), axis=0)[0]  # (T', H)
         return np.asarray(emb.T)
 
+    fwd = _jitted_last4(model)
+    frame_pos = jnp.arange(chunk)
+
     # Chunk starts are stride-aligned so frame i of a chunk at sample s is
     # global frame s//stride + i; interiors are stitched seamlessly.
     ov_frames = max(int(round(overlap_sec * sample_rate / stride)), 1)
+    n_chunk_frames = _num_frames(model.config, chunk)
     pieces = []
     pos = 0  # next global frame index to emit
     start = 0
     while True:
         end = min(start + chunk, T)
-        hs = _forward_hidden(model, params, jnp.asarray(waveform[start:end]))
-        emb = np.asarray(jnp.mean(jnp.stack(hs[-4:]), axis=0)[0])  # (n, H)
+        buf = np.zeros(chunk, np.float32)
+        buf[: end - start] = waveform[start:end]
+        mask = (frame_pos < (end - start)).astype(jnp.int32)
+        # stays on device: per-chunk host readback of the (n, H) embedding
+        # costs ~125 ms over this rig's relay vs ~44 ms of compute
+        emb = fwd(params, jnp.asarray(buf), mask)  # (n_chunk, H)
+        n_valid = (n_chunk_frames if end - start == chunk
+                   else _num_frames(model.config, end - start))
         g0 = start // stride
         lo = pos - g0
-        hi = emb.shape[0] if end == T else emb.shape[0] - ov_frames
+        hi = n_valid if end == T else n_valid - ov_frames
         pieces.append(emb[lo:hi])
         pos = g0 + hi
         if end == T:
             break
-        start += (emb.shape[0] - 2 * ov_frames) * stride
-    return np.concatenate(pieces, axis=0).T  # (H, T')
+        start += (n_valid - 2 * ov_frames) * stride
+    return np.asarray(jnp.concatenate(pieces, axis=0).T)  # (H, T')
 
 
 def embed_features(model, params, waveform: np.ndarray) -> np.ndarray:

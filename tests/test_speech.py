@@ -142,6 +142,17 @@ class TestWav2Vec:
         rate = emb.shape[1] / 2.0
         assert 48 < rate < 51  # ~49.97 Hz
 
+    def test_num_frames_formula_matches_model(self):
+        """The conv-stack frame-count formula (used to trim the padded+masked
+        final chunk) must match the model's actual output length."""
+        from meg_decoding_tpu.features.wav2vec import _num_frames, load_wav2vec
+
+        model, params = load_wav2vec(backend="random", num_hidden_layers=2)
+        for L in [16000, 12345, 8000]:
+            out = model(np.zeros((1, L), np.float32), params=params,
+                        train=False)
+            assert out.last_hidden_state.shape[1] == _num_frames(model.config, L), L
+
     def test_chunking_no_boundary_artifact(self):
         from meg_decoding_tpu.features.wav2vec import (
             embed_last4_avg,
