@@ -187,10 +187,35 @@ def main():
         return _time_steps(fused, state, packed, B, n_steps=args.steps,
                            n_windows=args.windows, rng=rng)
 
+    def bench_scan_epoch(dtype, updates=20):
+        """Whole-epoch lax.scan (one dispatch per epoch): the flagship
+        TPU-native path — no per-step host round-trip through the relay."""
+        from meg_decoding_tpu.train.scan_loop import make_gwilliams_scan_epoch
+
+        model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
+                             seq2seq=True, dtype=dtype)
+        example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
+                   jnp.zeros((B,), jnp.int32))
+        state = create_train_state(model, optimizer, example,
+                                   jax.random.PRNGKey(0))
+        epoch = make_gwilliams_scan_epoch(model, optimizer, loss_cfg,
+                                          collate_cfg, packed,
+                                          updates=updates, batch_size=B)
+        state, m = epoch(state, jax.random.PRNGKey(1))
+        float(m["loss"])  # compile + warm
+        best = float("inf")
+        for w in range(args.windows):
+            t0 = time.time()
+            state, m = epoch(state, jax.random.PRNGKey(2 + w))
+            float(m["loss"])
+            best = min(best, time.time() - t0)
+        return best / updates
+
     dt_f32 = bench_dtype(None)
     sps = B / dt_f32
     flops = _analytic_step_flops(B, C, seq_len, D1, D2, F, K)
     mfu_f32 = flops / dt_f32 / V5E_PEAK_FLOPS
+    dt_scan = bench_scan_epoch(None)
 
     extras = {
         "hbm_resident_dataset_gb": round(hbm_gb, 2),
@@ -198,6 +223,8 @@ def main():
         "sec_per_step": round(dt_f32, 5),
         "model_flops_per_step": flops,
         "mfu_vs_v5e_bf16_peak": round(mfu_f32, 4),
+        "scan_epoch_samples_per_sec": round(B / dt_scan, 2),
+        "scan_epoch_mfu": round(flops / dt_scan / V5E_PEAK_FLOPS, 4),
     }
     if not args.skip_bf16:
         dt_bf16 = bench_dtype(jnp.bfloat16)

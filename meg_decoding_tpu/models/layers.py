@@ -164,6 +164,11 @@ class ConvBlock(nn.Module):
         )(h2)
         h2 = jax.nn.gelu(h2, approximate=False)
 
-        h3 = conv(2 * self.D2, "conv2")(h2)
-        a, b = jnp.split(h3, 2, axis=-1)  # GLU over features (models.py:320)
+        # GLU over features (models.py:320).  The reference's single
+        # 2·D2-wide conv followed by a split forces XLA to relayout the
+        # 640-channel activation before the elementwise GLU (~0.2 ms/block
+        # fwd + as much in bwd on v5e); two D2-wide convs with the kernel
+        # halves are the same math and fuse into the conv epilogues.
+        a = conv(self.D2, "conv2a")(h2)
+        b = conv(self.D2, "conv2b")(h2)
         return a * jax.nn.sigmoid(b)

@@ -168,7 +168,13 @@ class TestConvBlock:
         h = TF.gelu(h)
         h2 = conv1d(h, np.asarray(p["conv1"]["kernel"]), np.asarray(p["conv1"]["bias"])) + h
         h2 = TF.gelu(h2)
-        h3 = conv1d(h2, np.asarray(p["conv2"]["kernel"]), np.asarray(p["conv2"]["bias"]))
+        # flax splits the GLU conv into two halves (models/layers.py);
+        # concatenating them reproduces the reference's single 2·D2 conv
+        k3 = np.concatenate([np.asarray(p["conv2a"]["kernel"]),
+                             np.asarray(p["conv2b"]["kernel"])], axis=-1)
+        b3 = np.concatenate([np.asarray(p["conv2a"]["bias"]),
+                             np.asarray(p["conv2b"]["bias"])])
+        h3 = conv1d(h2, k3, b3)
         expect = TF.glu(h3, dim=-2).numpy()
 
         np.testing.assert_allclose(np.asarray(out).transpose(0, 2, 1), expect,

@@ -179,9 +179,17 @@ def test_full_encoder_matches_torch_replica():
         for kk in range(5):
             blk = p[f"conv{kk}"]
             tblk = tm.blocks[kk]
-            for cname in ["conv0", "conv1", "conv2"]:
+            for cname in ["conv0", "conv1"]:
                 tblk[cname].weight.copy_(_conv1d_w(blk[cname]["kernel"]))
                 tblk[cname].bias.copy_(_t(blk[cname]["bias"]))
+            # flax splits the GLU conv into two D2-wide halves (layout
+            # optimization, models/layers.py); torch keeps the reference's
+            # single 2·D2 conv — concatenate the halves
+            tblk["conv2"].weight.copy_(torch.cat(
+                [_conv1d_w(blk["conv2a"]["kernel"]),
+                 _conv1d_w(blk["conv2b"]["kernel"])]))
+            tblk["conv2"].bias.copy_(torch.cat(
+                [_t(blk["conv2a"]["bias"]), _t(blk["conv2b"]["bias"])]))
             for bname in ["bn0", "bn1"]:
                 tblk[bname].weight.copy_(_t(blk[bname]["scale"]))
                 tblk[bname].bias.copy_(_t(blk[bname]["bias"]))
