@@ -103,6 +103,85 @@ def _top10(Z, Y):
 
 
 @pytest.mark.slow
+def test_seq2seq_planted_signal_top10_matches_torch_reference():
+    """Speech-flagship head (seq2seq): CLIP over (B, F·T) embeddings.
+    Planted mapping is a time-local linear map Y[:, f, t] = Σ_c X[:, c, t]
+    W[c, f] + noise — learnable by the conv stack."""
+    rng = np.random.RandomState(7)
+    loc = rng.rand(C, 2).astype(np.float32) * 0.8 + 0.1
+    W_plant = (rng.randn(C, F) * 1.5).astype(np.float32)
+    steps = 800
+
+    def planted(n):
+        X = rng.randn(n, C, T).astype(np.float32)
+        # heavy noise so top-10 lands mid-range: a saturated (=1.0) anchor
+        # can't tell a slightly-wrong stack from a correct one.  The flat
+        # (F·T = 768)-dim cosine averages the noise down by √768, so the
+        # per-element noise must be several × the signal std (≈ √C·1.5) to keep
+        # the true-match margin near the distractor spread
+        Y = np.einsum("nct,cf->nft", X, W_plant) \
+            + 30.0 * rng.randn(n, F, T).astype(np.float32)
+        return X, Y.astype(np.float32), rng.randint(0, NSUB, n)
+
+    Xtr, Ytr, Str = planted(N_TRAIN)
+    Xte, Yte, Ste = planted(N_TEST)
+    batch_idx = [rng.randint(0, N_TRAIN, BATCH) for _ in range(steps)]
+
+    model = BrainEncoder(loc=loc, num_subjects=NSUB, D1=D1, D2=D2, F=F, K=K,
+                         d_drop=0.0, seq2seq=True)
+    opt = optax.adam(LR)
+    state = create_train_state(
+        model, opt,
+        (jnp.asarray(Xtr[:BATCH]), jnp.asarray(Ytr[:BATCH]),
+         jnp.asarray(Str[:BATCH])),
+        jax.random.PRNGKey(0), init_temperature=TEMP0)
+
+    torch.manual_seed(0)
+    tm = TorchBrainEncoder(loc, d1=D1, d2=D2, f_dim=F, k_dim=K,
+                           num_subjects=NSUB, seq2seq=True)
+    transplant_into_torch(state.params["model"], tm, NSUB)
+    temp = nn.Parameter(torch.tensor(TEMP0))
+    topt = torch.optim.Adam(list(tm.parameters()) + [temp], lr=LR)
+
+    step = make_train_step(model, opt, LossConfig(kind="clip"),
+                           CollateConfig(enabled=False), donate=False)
+    jax_losses, torch_losses = [], []
+    for i in range(steps):
+        b = batch_idx[i]
+        state, m = step(state, jnp.asarray(Xtr[b]), jnp.asarray(Ytr[b]),
+                        jnp.asarray(Str[b]))
+        jax_losses.append(float(m["loss"]))
+    for i in range(steps):
+        b = batch_idx[i]
+        topt.zero_grad()
+        loss = torch_clip_loss(tm(_t(Xtr[b]), torch.tensor(Str[b])),
+                               _t(Ytr[b]), temp)
+        loss.backward()
+        topt.step()
+        torch_losses.append(float(loss.detach()))
+
+    assert jax_losses[0] == pytest.approx(torch_losses[0], rel=1e-3)
+
+    variables = {"params": state.params["model"],
+                 "batch_stats": state.batch_stats}
+    Z = np.asarray(model.apply(variables, jnp.asarray(Xte), jnp.asarray(Ste),
+                               train=False)).reshape(N_TEST, -1)
+    tm.eval()
+    with torch.no_grad():
+        Zt = tm(_t(Xte), torch.tensor(Ste)).numpy().reshape(N_TEST, -1)
+
+    acc_jax = _top10(Z, Yte.reshape(N_TEST, -1))
+    acc_torch = _top10(Zt, Yte.reshape(N_TEST, -1))
+    print(f"seq2seq anchor: jax top10={acc_jax:.4f} "
+          f"torch top10={acc_torch:.4f} diff={abs(acc_jax-acc_torch):.4f}")
+    # both stacks must have learned well above the 10/512 = 2% chance level
+    # (measured 0.250 vs 0.244 — mid-range, so the anchor can discriminate)...
+    assert acc_jax > 0.15 and acc_torch > 0.15, (acc_jax, acc_torch)
+    # ...and agree closely (measured 0.6 pts; gate 5 absorbs binomial noise)
+    assert abs(acc_jax - acc_torch) <= 0.05, (acc_jax, acc_torch)
+
+
+@pytest.mark.slow
 def test_planted_signal_top10_matches_torch_reference():
     rng = np.random.RandomState(42)
     loc = rng.rand(C, 2).astype(np.float32) * 0.8 + 0.1

@@ -81,8 +81,9 @@ class ConvBlock(nn.Module):
 
 class BrainEncoder(nn.Module):
     def __init__(self, loc, d1=D1, d2=D2, f_dim=Fdim, k_dim=K,
-                 num_subjects=NUM_SUBJECTS):
+                 num_subjects=NUM_SUBJECTS, seq2seq=False):
         super().__init__()
+        self.seq2seq = seq2seq
         self.subject_block = SubjectBlock(loc, d1, k_dim, num_subjects)
         self.blocks = nn.Sequential(*[ConvBlock(k, d1, d2) for k in range(5)])
         self.f1 = nn.Conv1d(d2, 2 * d2, 1)
@@ -91,10 +92,13 @@ class BrainEncoder(nn.Module):
     def forward(self, X, subject_idxs):
         X = self.subject_block(X, subject_idxs)
         X = self.blocks(X)
-        return F.gelu(self.f2(F.gelu(self.f1(X)))).mean(-1)
+        X = F.gelu(self.f2(F.gelu(self.f1(X))))
+        return X if self.seq2seq else X.mean(-1)
 
 
 def clip_loss(x, y, temp):
+    x = x.flatten(1)  # seq2seq (B, F, T) → (B, F·T); no-op for (B, F)
+    y = y.flatten(1)
     x = x / x.norm(dim=-1, keepdim=True)
     y = y / y.norm(dim=-1, keepdim=True)
     logits = x @ y.T * torch.exp(temp)
