@@ -194,3 +194,71 @@ class TestArbitraryLengthFFT:
         got = np.asarray(resample_fft(jnp.array(x), down=1000 / 120))
         expect = sp_resample(x, new_len, axis=-1)
         np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-4)
+
+
+class TestRandomizedParamSweeps:
+    """Property-style sweeps: the DSP chain must match its scipy/sklearn
+    oracles across randomized lengths, rates, and shapes — not only at the
+    hand-picked sizes above (guards the Bluestein/overlap-save paths against
+    size-specific bugs)."""
+
+    def test_resample_random_rates_and_lengths(self):
+        from scipy.signal import resample as sp_resample
+
+        rng = np.random.RandomState(11)
+        for trial in range(6):
+            T = int(rng.randint(200, 4000))
+            down = float(rng.uniform(1.3, 12.0))
+            x = rng.randn(2, T).astype(np.float64)
+            new_len = resample_len(T, down=down)
+            got = np.asarray(resample_fft(jnp.array(x), down=down))
+            expect = sp_resample(x, new_len, axis=-1)
+            assert got.shape == (2, new_len), (T, down)
+            np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4,
+                                       err_msg=f"T={T} down={down}")
+
+    def test_fir_random_lengths_match_scipy(self):
+        from scipy.signal import fftconvolve
+
+        rng = np.random.RandomState(12)
+        for trial in range(4):
+            T = int(rng.randint(500, 5000))
+            taps = int(rng.choice([51, 101, 255]))
+            fs = float(rng.uniform(120, 1200))
+            lo = float(rng.uniform(0.5, 5.0))
+            hi = float(rng.uniform(30.0, fs / 2 - 10))
+            x = rng.randn(2, T).astype(np.float32)
+            h = design_bandpass_fir(fs, lo, hi, filter_length=taps)
+            got = np.asarray(apply_fir(jnp.array(x), jnp.array(h), pad="zero"))
+            expect = fftconvolve(x, h[None, :], mode="same", axes=-1)
+            np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-4,
+                                       err_msg=f"T={T} taps={taps} fs={fs}")
+
+    def test_robust_scale_random_shapes_match_sklearn(self):
+        from sklearn.preprocessing import RobustScaler
+
+        rng = np.random.RandomState(13)
+        for trial in range(4):
+            B = int(rng.randint(1, 5))
+            C = int(rng.randint(1, 12))
+            T = int(rng.randint(5, 400))
+            X = rng.randn(B, C, T).astype(np.float64) * rng.uniform(0.1, 50)
+            got = np.asarray(robust_scale(jnp.array(X), axis=-1))
+            for b in range(B):
+                expect = RobustScaler().fit_transform(X[b].T).T
+                np.testing.assert_allclose(got[b], expect, rtol=1e-5,
+                                           atol=1e-7,
+                                           err_msg=f"B={B} C={C} T={T}")
+
+    def test_epoch_slice_random_onsets_and_lengths(self):
+        rng = np.random.RandomState(14)
+        for trial in range(4):
+            T = int(rng.randint(300, 2000))
+            L = int(rng.randint(8, min(300, T // 2)))
+            C = int(rng.randint(1, 8))
+            N = int(rng.randint(1, 40))
+            x = rng.randn(C, T).astype(np.float32)
+            onsets = rng.randint(0, T - L, N)
+            got = np.asarray(epoch_slice(jnp.array(x), jnp.array(onsets), L))
+            expect = np.stack([x[:, o:o + L] for o in onsets])
+            np.testing.assert_allclose(got, expect, err_msg=f"T={T} L={L}")
