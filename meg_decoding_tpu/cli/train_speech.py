@@ -68,6 +68,12 @@ class _SpeechLoader:
         self._n_calls = 0
         self.num_subjects = ds.num_subjects
 
+    @property
+    def host_resident(self) -> bool:
+        # host-resident packed arrays → the epoch driver streams batches
+        # through the prefetch pipeline (train/loop.py)
+        return bool(getattr(self.ds, "host_resident", False))
+
     def __len__(self):
         return len(self.ds)
 
@@ -201,6 +207,22 @@ def run(cfg: Config) -> dict:
     else:
         train_set, test_set = _load_brennan(cfg, seed)
     cfg.num_subjects = train_set.num_subjects
+    if cfg.get("host_resident", False):
+        # spill path: recordings stay in host RAM, windows are numpy slices
+        # streamed through the prefetch pipeline (train/loop.py).  Bypasses
+        # the device-resident fast paths (fuse_gather / scan epochs).
+        from meg_decoding_tpu.data.gwilliams import to_host
+
+        if isinstance(train_set.ds, GwilliamsPacked):
+            train_set.ds = to_host(train_set.ds)
+            test_set.ds = to_host(test_set.ds) if test_set.ds is not train_set.ds \
+                else train_set.ds
+        else:  # Brennan-style PackedDataset
+            train_set.ds = train_set.ds.to_host()
+            if test_set.ds is not train_set.ds:
+                test_set.ds = test_set.ds.to_host()
+        cfg.fuse_gather = False
+        cfg.use_scan_epochs = False
 
     num_channels = int(train_set.gather(np.arange(1))[0].shape[1])
     cfg.num_channels = num_channels

@@ -82,12 +82,17 @@ class BrennanPacked:
     def __len__(self):
         return int(self.X.shape[0])
 
+    @property
+    def host_resident(self) -> bool:
+        return isinstance(self.X, np.ndarray)
+
     def gather(self, idx, subject_idxs=None, rng=None):
-        idx = jnp.asarray(idx)
+        as_arr = np.asarray if self.host_resident else jnp.asarray
+        idx = as_arr(idx)
         if subject_idxs is None:
             assert rng is not None
             subject_idxs = rng.randint(0, self.num_subjects, size=len(idx))
-        subject_idxs = jnp.asarray(subject_idxs)
+        subject_idxs = as_arr(subject_idxs)
         X = self.X[idx, subject_idxs]  # (B, C, L)
         Y = self.Y[idx]
         return X, Y, subject_idxs, idx  # idx doubles as chunkIDs (train.py:193)
@@ -95,6 +100,10 @@ class BrennanPacked:
     def subset(self, idx):
         out = BrennanPacked(self.X[np.asarray(idx)], self.Y[np.asarray(idx)])
         return out
+
+    def to_host(self) -> "BrennanPacked":
+        """Spill the packed chunks to host RAM (see PackedDataset.to_host)."""
+        return BrennanPacked(np.asarray(self.X), np.asarray(self.Y))
 
 
 def build_brennan_dataset(cfg, Y_stream: np.ndarray,

@@ -163,6 +163,10 @@ class GwilliamsPacked:
         return int(self.n_words.sum())
 
     @property
+    def host_resident(self) -> bool:
+        return isinstance(self.recordings, np.ndarray)
+
+    @property
     def task_offsets(self) -> np.ndarray:
         return np.concatenate([[0], np.cumsum(self.n_words)[:-1]])
 
@@ -268,17 +272,59 @@ def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
 
 def gather_speech_batch(ds: GwilliamsPacked, segment_ids: np.ndarray, key):
     """Batch = segments by global id + a random session each (reproducing
-    ``__getitem__``'s random subject-session pairing, :130-143)."""
+    ``__getitem__``'s random subject-session pairing, :130-143).
+
+    On a host-resident dataset (``to_host``) the windows are numpy slices
+    with the SAME ``jax.random`` session draw — batches are bit-identical
+    to the device path; only the transfer strategy differs."""
     seg = ds.segment_table()[np.asarray(segment_ids)]
-    task_ids = jnp.asarray(seg[:, 0])
-    i_in_task = jnp.asarray(seg[:, 1])
     n_sessions = ds.recordings.shape[0]
     sess_ids = jax.random.randint(key, (len(seg),), 0, n_sessions)
+    if isinstance(ds.recordings, np.ndarray):  # host spill path
+        X, Y, subs = _gather_batch_host(ds, seg[:, 0], seg[:, 1],
+                                        np.asarray(sess_ids))
+        return X, Y, subs, np.asarray(segment_ids)
     X, Y, subs = _gather_batch(
         ds.recordings, ds.y_stream, ds.meg_onsets, ds.speech_onsets,
-        ds.session_subject, task_ids, i_in_task, sess_ids, ds.seq_len,
+        ds.session_subject, jnp.asarray(seg[:, 0]), jnp.asarray(seg[:, 1]),
+        sess_ids, ds.seq_len,
     )
     return X, Y, subs, jnp.asarray(segment_ids)
+
+
+def to_host(ds: GwilliamsPacked) -> GwilliamsPacked:
+    """Spill the packed arrays to host RAM (numpy): the flagship-dataset
+    variant of ``PackedDataset.to_host`` for deployments whose recordings
+    exceed HBM.  Batches are then sliced on host (``gather_speech_batch``
+    detects the numpy arrays) and streamed through the prefetch pipeline
+    (``data/prefetch.py``; ``host_resident: true`` + ``prefetch: N`` on the
+    speech trainer)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        ds,
+        recordings=np.asarray(ds.recordings),
+        y_stream=np.asarray(ds.y_stream),
+        meg_onsets=np.asarray(ds.meg_onsets),
+        speech_onsets=np.asarray(ds.speech_onsets),
+        session_subject=np.asarray(ds.session_subject),
+    )
+
+
+def _gather_batch_host(ds: GwilliamsPacked, task_ids, i_in_task, sess_ids):
+    """Numpy twin of ``_gather_batch`` for host-resident datasets: same
+    windows, same onset clamping, pure host slices (the device copy happens
+    downstream in the prefetch pipeline)."""
+    L = int(ds.seq_len)
+    T = ds.recordings.shape[-1]
+    x_onsets = np.clip(ds.meg_onsets[sess_ids, task_ids, i_in_task], 0, T - L)
+    Ty = ds.y_stream.shape[-1]
+    y_onsets = np.clip(ds.speech_onsets[task_ids, i_in_task], 0, Ty - L)
+    X = np.stack([ds.recordings[s, t, :, o:o + L]
+                  for s, t, o in zip(sess_ids, task_ids, x_onsets)])
+    Y = np.stack([ds.y_stream[t, :, o:o + L]
+                  for t, o in zip(task_ids, y_onsets)])
+    return X, Y, ds.session_subject[sess_ids]
 
 
 def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,

@@ -69,6 +69,87 @@ class TestPrefetch:
             list(prefetch_to_device(iter([]), size=0))
 
 
+class TestHostResidentSpeech:
+    def test_host_gather_bitexact_vs_device(self, tmp_path):
+        """to_host + gather_speech_batch must produce bit-identical batches
+        to the device path: same jax.random session draw, numpy slices."""
+        from tests.fixtures import make_gwilliams_cache
+        from meg_decoding_tpu.data.gwilliams import (
+            build_gwilliams_dataset,
+            gather_speech_batch,
+            load_gwilliams_cache,
+            to_host,
+        )
+
+        cache = str(tmp_path / "cache")
+        cfg = make_gwilliams_cache(cache)
+        train, _ = build_gwilliams_dataset(
+            cfg, *load_gwilliams_cache(cache), split_mode="sentence")
+        host = to_host(train)
+        assert host.host_resident and not train.host_resident
+        key = jax.random.PRNGKey(3)
+        idx = np.arange(12)
+        Xd, Yd, sd, _ = gather_speech_batch(train, idx, key)
+        Xh, Yh, sh, _ = gather_speech_batch(host, idx, key)
+        assert isinstance(Xh, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(Xd), Xh)
+        np.testing.assert_array_equal(np.asarray(Yd), Yh)
+        np.testing.assert_array_equal(np.asarray(sd), sh)
+
+    def test_speech_trainer_spill_matches_device_run(self, tmp_path):
+        """Gwilliams trainer with host_resident: true streams numpy windows
+        through the prefetch pipeline and logs the same metrics as the
+        device-resident per-step run (same batches, same math)."""
+        import json
+        import os
+
+        from tests.fixtures import make_gwilliams_cache
+        from meg_decoding_tpu.cli.train_speech import run
+
+        def _cfg(save_root, host):
+            cfg = make_gwilliams_cache(str(tmp_path / "cache"))
+            cfg.save_root = save_root
+            cfg.model = "brain_encoder"
+            cfg.D1 = 8
+            cfg.D2 = 12
+            cfg.F = 16
+            cfg.K = 4
+            cfg.d_drop = 0.1
+            cfg.seq2seq = True
+            cfg.batch_size = 8
+            cfg.updates = 3
+            cfg.epochs = 2
+            cfg.use_sampler = True
+            cfg.test_size = 8
+            cfg.lr = 1e-3
+            cfg.lr_scheduler = "none"
+            cfg.init_temperature = 5.1
+            cfg.seed = 0
+            cfg.split_mode = "sentence"
+            cfg.fuse_gather = False  # device run must use the same
+            # per-step driver the spill path uses, so rows compare 1:1
+            cfg.host_resident = host
+            cfg.set_dotted("loss.kind", "clip")
+            return cfg
+
+        def _rows(save_root):
+            rows = []
+            for r in sorted(os.listdir(os.path.join(save_root, "runs"))):
+                p = os.path.join(save_root, "runs", r, "metrics.jsonl")
+                rows += [json.loads(l) for l in open(p)]
+            return rows
+
+        run(_cfg(str(tmp_path / "dev"), host=False))
+        run(_cfg(str(tmp_path / "host"), host=True))
+        a, b = _rows(str(tmp_path / "dev")), _rows(str(tmp_path / "host"))
+        assert len(a) == len(b) == 2
+        for ra, rb in zip(a, b):
+            for k in ra:
+                if k.endswith("_ms"):
+                    continue
+                assert ra[k] == rb[k], (k, ra[k], rb[k])
+
+
 class TestHostResidentTraining:
     def test_spill_path_matches_device_resident_run(self, tmp_path):
         """GOD trainer with host_resident: true (epochs in host RAM, batches
