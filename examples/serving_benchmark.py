@@ -55,19 +55,22 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "spatial": jax.random.PRNGKey(1)}, X1, subs1)
 
-    def forward(X, subs):
-        return model.apply(variables, X, subs, train=False)
+    # params are a jit ARGUMENT — closing over them would bake ~40 MB of
+    # weights into the HLO shipped through the remote-compile relay (the
+    # CLAUDE.md "Broken pipe"/HTTP 413 failure mode)
+    def forward(v, X, subs):
+        return model.apply(v, X, subs, train=False)
 
     for B in [int(b) for b in args.batches.split(",")]:
         X = jnp.asarray(rng.randn(B, C, T), jnp.float32)
         subs = jnp.asarray(rng.randint(0, 27, B))
         # AOT: trace + lower + compile before the first request
-        compiled = jax.jit(forward).lower(X, subs).compile()
-        np.asarray(compiled(X, subs))  # warmup execution
+        compiled = jax.jit(forward).lower(variables, X, subs).compile()
+        np.asarray(compiled(variables, X, subs))  # warmup execution
         lat = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = compiled(X, subs)
+            out = compiled(variables, X, subs)
             np.asarray(out[:1, :1])  # force completion (serving = sync reply)
             lat.append(time.perf_counter() - t0)
         lat_ms = np.array(lat) * 1e3

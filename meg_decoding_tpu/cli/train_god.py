@@ -135,9 +135,11 @@ def run(cfg: Config) -> dict:
         from meg_decoding_tpu.train.loop import fit_scan
         from meg_decoding_tpu.train.scan_loop import make_scan_epoch
 
+        n_data = mesh.shape["data"] if mesh else 1
+        bs = max((int(cfg.batch_size) // n_data) * n_data, n_data)
         scan_epoch = make_scan_epoch(
             model, optimizer, loss_cfg, collate_cfg, train_set,
-            updates=updates, batch_size=int(cfg.batch_size), mesh=mesh)
+            updates=updates, batch_size=bs, mesh=mesh)
         state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
                                eval_step, logger, ckpt,
                                seed=int(cfg.get("seed", 0)),

@@ -223,13 +223,18 @@ def pad_sessions(ds: GwilliamsPacked, multiple: int) -> GwilliamsPacked:
         return ds
     extra = np.arange(pad) % S
     take = np.concatenate([np.arange(S), extra])
+    # preserve residence: a host dataset pads in numpy (the multi-chip
+    # sharding path pads on host so the padded copy never has to fit one
+    # chip — see train/scan_loop._shard_gwilliams); a device dataset
+    # round-trips (one-time, at trainer start)
+    wrap = np.asarray if ds.host_resident else jnp.asarray
     return GwilliamsPacked(
-        recordings=jnp.asarray(np.asarray(ds.recordings)[take]),
+        recordings=wrap(np.asarray(ds.recordings)[take]),
         y_stream=ds.y_stream,
-        meg_onsets=jnp.asarray(np.asarray(ds.meg_onsets)[take]),
+        meg_onsets=wrap(np.asarray(ds.meg_onsets)[take]),
         speech_onsets=ds.speech_onsets,
         n_words=ds.n_words,
-        session_subject=jnp.asarray(np.asarray(ds.session_subject)[take]),
+        session_subject=wrap(np.asarray(ds.session_subject)[take]),
         seq_len=ds.seq_len,
         num_subjects=ds.num_subjects,
     )

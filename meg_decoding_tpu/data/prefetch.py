@@ -39,28 +39,53 @@ def prefetch_to_device(
     producer's next host gather and the consumer's running step.
 
     Exceptions in the producer propagate to the consumer at the point of
-    iteration.  The worker is a daemon thread: abandoning the iterator
-    early cannot hang interpreter shutdown.
+    iteration.  Abandoning the iterator early (a mid-epoch error or
+    ``break`` in the consumer) signals the worker to stop: it would
+    otherwise block on the full queue forever, pinning ``size``
+    device-resident batches plus the producer's closure for the rest of the
+    process.  The worker is additionally a daemon thread, so interpreter
+    shutdown can never hang on it.
     """
     if size < 1:
         raise ValueError(f"prefetch size must be >= 1, got {size}")
     put = device_put or jax.device_put
     q: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Queue-put that gives up when the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in batches:
-                q.put(put(batch))
+                if not _put(put(batch)):
+                    return
         except BaseException as e:  # surfaced to the consumer below
-            q.put((_SENTINEL, e))
+            _put((_SENTINEL, e))
             return
-        q.put((_SENTINEL, None))
+        _put((_SENTINEL, None))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if (isinstance(item, tuple) and len(item) == 2
+                    and item[0] is _SENTINEL):
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():  # release buffered batches promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -76,14 +76,24 @@ _FWD_CACHE: dict = {}
 def _jitted_last4(model):
     """Per-model cached jitted chunk forward: a fresh ``jax.jit`` wrapper
     re-traces the 24-layer model on every call (~1.5 s of pure Python), so
-    the wrapper must live as long as the model."""
-    fn = _FWD_CACHE.get(id(model))
+    the wrapper must live as long as the model — but no longer: the cache
+    entry (whose closure pins the model and its compiled executables) is
+    evicted when the model is garbage-collected, so sweeping over many
+    models doesn't grow memory without bound."""
+    import weakref
+
+    key = id(model)
+    fn = _FWD_CACHE.get(key)
     if fn is None:
         fn = jax.jit(lambda p, w, m: jnp.mean(jnp.stack(
             model(w[None], attention_mask=m[None], params=p,
                   output_hidden_states=True, train=False).hidden_states[-4:]),
             axis=0)[0])
-        _FWD_CACHE[id(model)] = fn
+        _FWD_CACHE[key] = fn
+        try:
+            weakref.finalize(model, _FWD_CACHE.pop, key, None)
+        except TypeError:
+            pass  # non-weakref-able model: entry lives for the process
     return fn
 
 

@@ -54,11 +54,14 @@ class CheckpointManager:
         """Restore into the structure of ``abstract_state`` (a concrete state
         with the right shapes/dtypes, e.g. a freshly initialized one).
 
-        Falls back to the previous generation (``<name>.old``, or a completed
-        ``<name>.new`` left by a crash between write and rotation) when the
-        preferred directory is missing or fails to load."""
+        Falls back across generations when the preferred directory is
+        missing or fails to load.  ``<name>.new`` is tried BEFORE
+        ``<name>.old``: a crash between the two rotation renames leaves a
+        COMPLETE newer checkpoint at ``.new`` (and none at ``name``), so
+        preferring ``.old`` would silently lose the last save; a partial
+        ``.new`` simply fails to restore and falls through to ``.old``."""
         errors = []
-        for cand in (name, name + ".old", name + ".new"):
+        for cand in (name, name + ".new", name + ".old"):
             path = self._path(cand)
             if not os.path.isdir(path):
                 continue
@@ -71,7 +74,8 @@ class CheckpointManager:
                 warnings.warn(
                     f"checkpoint '{name}' unreadable "
                     f"({'; '.join(errors) or 'missing'}); restored previous "
-                    f"generation '{cand}'")
+                    f"generation '{cand}'")  # '.new' is the newest complete
+                # write left by a crash mid-rotation; '.old' the one before
             return restored
         raise FileNotFoundError(
             f"no restorable checkpoint '{name}' under {self.ckpt_dir}"

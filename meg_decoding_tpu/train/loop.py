@@ -27,10 +27,22 @@ __all__ = ["fit", "fit_scan", "resume_if_requested"]
 
 
 def _mean_metrics(history: list[dict]) -> dict:
+    """Per-epoch metric means.  Steps skipped by the non-finite guard carry
+    masked-to-0 metrics (train/steps.py); averaging those zeros in would
+    underreport loss — e.g. a 90%-skipped epoch would log ~10% of the true
+    loss and look like progress.  So every metric except ``skipped`` itself
+    averages over the VALID steps only; ``skipped`` stays the fraction of
+    all steps."""
     if not history:
         return {}
     keys = history[0].keys()
-    return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
+    if "skipped" not in keys:
+        return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
+    valid = [h for h in history if float(h["skipped"]) == 0.0]
+    out = {k: (float(np.mean([float(h[k]) for h in valid])) if valid else 0.0)
+           for k in keys if k != "skipped"}
+    out["skipped"] = float(np.mean([float(h["skipped"]) for h in history]))
+    return out
 
 
 def _test_pool_starts(n: int, pool: int, sweep: bool) -> list[int]:
@@ -234,7 +246,17 @@ def resume_if_requested(cfg, ckpt, state, save_root: str):
     if not (cfg.get("resume", False) and ckpt is not None
             and ckpt.exists("model_last")):
         return state, 0
-    state = ckpt.restore("model_last", state)
+    try:
+        state = ckpt.restore("model_last", state)
+    except FileNotFoundError as e:
+        # exists() saw a directory but no generation was restorable (e.g. a
+        # first-ever save crashed mid-write leaving only a partial .new):
+        # start fresh rather than killing the job
+        import warnings
+
+        warnings.warn(f"resume requested but no restorable checkpoint "
+                      f"({e}); starting from scratch")
+        return state, 0
     last_epoch = -1
     for log in glob.glob(os.path.join(save_root, "runs", "*", "metrics.jsonl")):
         for line in open(log):

@@ -30,6 +30,7 @@ from meg_decoding_tpu.data.gwilliams import (
     _gather_batch,
     local_shard_gather,
     pad_sessions,
+    to_host as to_host_fn,
 )
 from meg_decoding_tpu.train.steps import CollateConfig, LossConfig
 
@@ -40,14 +41,25 @@ def _shard_gwilliams(ds: GwilliamsPacked, mesh):
     """Pad sessions to the data-axis size and device_put the packed arrays
     with their production shardings: recordings/meg_onsets partitioned over
     sessions (so the full dataset never has to fit one chip's HBM), the
-    small tables replicated."""
+    small tables replicated.
+
+    The session padding and the big-array staging happen on the HOST
+    (numpy), and ``jax.device_put`` sends each shard straight to its own
+    device — the padded recordings are never materialized unsharded on a
+    single chip (which would OOM at exactly the scale sharding exists for).
+    The one-time device→host pull when ``ds`` was built device-resident is
+    the price of resharding; builders targeting multi-chip can keep the
+    packed arrays on host until this call."""
+    import numpy as _np
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape["data"]
-    ds = pad_sessions(ds, n)
+    ds = pad_sessions(to_host_fn(ds), n)
     sess_sharded = lambda x: jax.device_put(
-        x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
-    repl = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        _np.asarray(x),
+        NamedSharding(mesh, P("data", *([None] * (x.ndim - 1)))))
+    repl = lambda x: jax.device_put(_np.asarray(x), NamedSharding(mesh, P()))
     return GwilliamsPacked(
         recordings=sess_sharded(ds.recordings),
         y_stream=repl(ds.y_stream),
@@ -171,7 +183,18 @@ def _build_epoch(step_fn, gather_fn, updates: int, batch_size: int, n: int,
 
         subkeys = jax.random.split(key, updates)
         state, metrics = jax.lax.scan(body, state, (idx, subkeys))
-        return state, jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics)
+        # mirror loop._mean_metrics: steps skipped by the non-finite guard
+        # carry masked-to-0 metrics — average the others over VALID steps
+        # only so a partially-skipped epoch doesn't underreport its loss
+        if "skipped" in metrics:
+            n_valid = jnp.maximum(updates - jnp.sum(metrics["skipped"]), 1.0)
+            means = {k: (jnp.mean(v, axis=0) if k == "skipped"
+                         else jnp.sum(v, axis=0) / n_valid)
+                     for k, v in metrics.items()}
+        else:
+            means = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0),
+                                           metrics)
+        return state, means
 
     return lambda state, key: epoch(state, key, *data_args)
 

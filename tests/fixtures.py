@@ -200,3 +200,49 @@ def make_brennan_raw(root, n_subjects=4, C=8, fs=500.0, rec_sec=60.0, F=16,
         },
     })
     return cfg
+
+
+# --- shared flax→torch transplant helpers (torch imported lazily: most -----
+# --- fixture users don't need it) ------------------------------------------
+
+def torch_t(x):
+    import torch
+
+    return torch.tensor(np.asarray(x))
+
+
+def torch_conv1d_w(kernel):
+    """flax conv kernel (ks, in, out) → torch Conv1d weight (out, in, ks)."""
+    return torch_t(np.transpose(np.asarray(kernel), (2, 1, 0)))
+
+
+def transplant_conv_blocks(params, torch_blocks, n_blocks: int = 5):
+    """Copy the flax ``conv{k}`` ConvBlock trees into torch block modules.
+
+    Accepts both attribute-style blocks (``blk.conv0``, tools/baseline_torch)
+    and ModuleDict-style (``blk["conv0"]``).  Centralizes the GLU-halves
+    mapping — flax stores the 2·D2 GLU conv as ``conv2a``/``conv2b``
+    (models/layers.py layout optimization) while every torch replica keeps
+    the reference's single ``conv2`` — so a layer-layout change edits ONE
+    place, not every transplant site.
+    """
+    import torch
+
+    with torch.no_grad():
+        for kk in range(n_blocks):
+            blk = params[f"conv{kk}"]
+            tblk = torch_blocks[kk]
+            get = (tblk.__getitem__ if hasattr(tblk, "__getitem__")
+                   else lambda name, _m=tblk: getattr(_m, name))
+            for cname in ["conv0", "conv1"]:
+                get(cname).weight.copy_(torch_conv1d_w(blk[cname]["kernel"]))
+                get(cname).bias.copy_(torch_t(blk[cname]["bias"]))
+            get("conv2").weight.copy_(torch.cat(
+                [torch_conv1d_w(blk["conv2a"]["kernel"]),
+                 torch_conv1d_w(blk["conv2b"]["kernel"])]))
+            get("conv2").bias.copy_(torch.cat(
+                [torch_t(blk["conv2a"]["bias"]),
+                 torch_t(blk["conv2b"]["bias"])]))
+            for bname in ["bn0", "bn1"]:
+                get(bname).weight.copy_(torch_t(blk[bname]["scale"]))
+                get(bname).bias.copy_(torch_t(blk[bname]["bias"]))

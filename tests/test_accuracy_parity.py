@@ -73,20 +73,9 @@ def transplant_into_torch(params, tm: TorchBrainEncoder, n_sub: int):
         for s in range(n_sub):
             tm.subject_block.subject_layer[s].weight.copy_(
                 _t(W[s].T[:, :, None]))
-        for kk in range(5):
-            blk, tblk = params[f"conv{kk}"], tm.blocks[kk]
-            for cname in ["conv0", "conv1"]:
-                getattr(tblk, cname).weight.copy_(_conv1d_w(blk[cname]["kernel"]))
-                getattr(tblk, cname).bias.copy_(_t(blk[cname]["bias"]))
-            # flax GLU conv is split into two halves (models/layers.py)
-            tblk.conv2.weight.copy_(torch.cat(
-                [_conv1d_w(blk["conv2a"]["kernel"]),
-                 _conv1d_w(blk["conv2b"]["kernel"])]))
-            tblk.conv2.bias.copy_(torch.cat(
-                [_t(blk["conv2a"]["bias"]), _t(blk["conv2b"]["bias"])]))
-            for bname in ["bn0", "bn1"]:
-                getattr(tblk, bname).weight.copy_(_t(blk[bname]["scale"]))
-                getattr(tblk, bname).bias.copy_(_t(blk[bname]["bias"]))
+        from tests.fixtures import transplant_conv_blocks
+
+        transplant_conv_blocks(params, tm.blocks)
         tm.f1.weight.copy_(_dense_as_conv(params["conv_final1"]["kernel"]))
         tm.f1.bias.copy_(_t(params["conv_final1"]["bias"]))
         tm.f2.weight.copy_(_dense_as_conv(params["conv_final2"]["kernel"]))

@@ -68,6 +68,33 @@ class TestPrefetch:
         with pytest.raises(ValueError):
             list(prefetch_to_device(iter([]), size=0))
 
+    def test_abandoned_iterator_stops_worker(self):
+        """Breaking out mid-epoch must release the worker thread (it would
+        otherwise block on the full queue forever, pinning `size` batches)."""
+        import threading
+
+        produced = []
+
+        def gen():
+            for i in range(1000):
+                produced.append(i)
+                yield np.full((4,), i, np.float32)
+
+        before = {t.ident for t in threading.enumerate()}
+        it = prefetch_to_device(gen(), size=2)
+        next(it)
+        it.close()  # the consumer abandons the epoch (GeneratorExit)
+        # the worker must exit promptly instead of blocking on q.put
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            extra = [t for t in threading.enumerate()
+                     if t.ident not in before and t.is_alive()]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, "prefetch worker still alive after iterator close"
+        assert len(produced) < 1000  # it stopped early, not after draining
+
 
 class TestHostResidentSpeech:
     def test_host_gather_bitexact_vs_device(self, tmp_path):

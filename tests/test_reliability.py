@@ -170,6 +170,108 @@ class TestCheckpointCorruptionResilience:
         with pytest.raises(FileNotFoundError):
             ckpt.restore("model_last", state)
 
+    def test_crash_mid_rotation_prefers_newer_generation(self, tmp_path):
+        """Crash between the two rotation renames leaves name absent,
+        .old = gen N, .new = COMPLETE gen N+1 — restore must return N+1,
+        not silently fall back to N."""
+        import shutil
+
+        from meg_decoding_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        state1, _ = self._state_with_step(1)
+        ckpt.save("model_last", state1)
+        state2, _ = self._state_with_step(2)
+        ckpt.save("model_last", state2)
+        # simulate the crash window: cur (gen 2) was written but the final
+        # rename never happened
+        shutil.move(str(tmp_path / "ckpt" / "model_last"),
+                    str(tmp_path / "ckpt" / "model_last.new"))
+        with pytest.warns(UserWarning, match="restored previous generation"):
+            restored = ckpt.restore("model_last", state1)
+        assert int(restored.step) == 2  # the newer complete generation
+
+    def test_resume_with_only_partial_checkpoint_starts_fresh(self, tmp_path):
+        """A first-ever save that crashed mid-write leaves only a partial
+        .new; resume must warn and start from scratch, not die."""
+        import os
+
+        from meg_decoding_tpu.core.config import Config
+        from meg_decoding_tpu.train.checkpoint import CheckpointManager
+        from meg_decoding_tpu.train.loop import resume_if_requested
+
+        ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+        partial = str(tmp_path / "ckpt" / "model_last.new")
+        os.makedirs(partial)
+        open(os.path.join(partial, "garbage"), "w").write("not a checkpoint")
+        assert ckpt.exists("model_last")  # the trap the fix defuses
+        state, _ = self._state_with_step(0)
+        cfg = Config({"resume": True})
+        with pytest.warns(UserWarning, match="starting from scratch"):
+            out_state, start_epoch = resume_if_requested(
+                cfg, ckpt, state, str(tmp_path))
+        assert start_epoch == 0 and out_state is state
+
+
+class TestSkippedStepMetricMeans:
+    def test_epoch_means_exclude_skipped_steps(self):
+        """Masked-to-0 metrics from skipped steps must not dilute the epoch
+        means (a 50%-skipped epoch would otherwise halve the logged loss)."""
+        from meg_decoding_tpu.train.loop import _mean_metrics
+
+        hist = [
+            {"loss": 2.0, "top10": 0.5, "skipped": 0.0},
+            {"loss": 0.0, "top10": 0.0, "skipped": 1.0},  # masked step
+            {"loss": 4.0, "top10": 0.7, "skipped": 0.0},
+        ]
+        m = _mean_metrics(hist)
+        assert m["loss"] == pytest.approx(3.0)      # mean of VALID steps
+        assert m["top10"] == pytest.approx(0.6)
+        assert m["skipped"] == pytest.approx(1 / 3)  # fraction of ALL steps
+
+    def test_all_skipped_reports_zero_not_nan(self):
+        from meg_decoding_tpu.train.loop import _mean_metrics
+
+        m = _mean_metrics([{"loss": 0.0, "skipped": 1.0}] * 3)
+        assert m["loss"] == 0.0 and m["skipped"] == 1.0
+
+    def test_scan_epoch_means_exclude_skipped(self):
+        """The whole-epoch scan applies the same valid-step averaging on
+        device: plant one NaN batch among good ones and check the epoch
+        loss equals the mean over the good steps only."""
+        import optax
+
+        from meg_decoding_tpu.data.packed import PackedDataset
+        from meg_decoding_tpu.models.eegnet import LinearEncoder
+        from meg_decoding_tpu.train.scan_loop import make_scan_epoch
+        from meg_decoding_tpu.train.state import create_train_state
+        from meg_decoding_tpu.train.steps import (
+            CollateConfig,
+            LossConfig,
+            make_train_step,
+        )
+
+        rng = np.random.RandomState(0)
+        n, C, F = 32, 6, 8
+        X = rng.randn(n, C, 12).astype(np.float32)
+        X[7] = np.nan  # one poisoned sample: any batch drawing it skips
+        Y = rng.randn(n, F).astype(np.float32)
+        ds = PackedDataset(X=jnp.array(X), Y=jnp.array(Y),
+                           subject_idxs=jnp.array(rng.randint(0, 2, n)),
+                           num_subjects=2)
+        model = LinearEncoder(scp=True, out_dim=F)
+        opt = optax.adam(1e-3)
+        state = create_train_state(model, opt, ds.gather(np.arange(8)),
+                                   jax.random.PRNGKey(0))
+        epoch = make_scan_epoch(model, opt, LossConfig(kind="clip"),
+                                CollateConfig(enabled=False), ds,
+                                updates=6, batch_size=8)
+        state2, m = epoch(state, jax.random.PRNGKey(5))
+        skipped = float(m["skipped"])
+        if 0.0 < skipped < 1.0:  # some batches drew the NaN sample
+            # loss averaged over valid steps only → finite and nonzero
+            assert np.isfinite(float(m["loss"])) and float(m["loss"]) > 0.0
+
 
 class TestTestPoolSweep:
     def test_pools_cover_split_exactly(self):

@@ -176,23 +176,9 @@ def test_full_encoder_matches_torch_replica():
         W = np.asarray(sb["subject_layer"]["weight"])  # (S, D, D) btc,bcd->btd
         for s in range(S):
             tm.subject_layer[s].weight.copy_(_t(W[s].T[:, :, None]))
-        for kk in range(5):
-            blk = p[f"conv{kk}"]
-            tblk = tm.blocks[kk]
-            for cname in ["conv0", "conv1"]:
-                tblk[cname].weight.copy_(_conv1d_w(blk[cname]["kernel"]))
-                tblk[cname].bias.copy_(_t(blk[cname]["bias"]))
-            # flax splits the GLU conv into two D2-wide halves (layout
-            # optimization, models/layers.py); torch keeps the reference's
-            # single 2·D2 conv — concatenate the halves
-            tblk["conv2"].weight.copy_(torch.cat(
-                [_conv1d_w(blk["conv2a"]["kernel"]),
-                 _conv1d_w(blk["conv2b"]["kernel"])]))
-            tblk["conv2"].bias.copy_(torch.cat(
-                [_t(blk["conv2a"]["bias"]), _t(blk["conv2b"]["bias"])]))
-            for bname in ["bn0", "bn1"]:
-                tblk[bname].weight.copy_(_t(blk[bname]["scale"]))
-                tblk[bname].bias.copy_(_t(blk[bname]["bias"]))
+        from tests.fixtures import transplant_conv_blocks
+
+        transplant_conv_blocks(p, tm.blocks)
         tm.f1.weight.copy_(_dense_as_conv(p["conv_final1"]["kernel"]))
         tm.f1.bias.copy_(_t(p["conv_final1"]["bias"]))
         tm.f2.weight.copy_(_dense_as_conv(p["conv_final2"]["kernel"]))
