@@ -21,7 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CLIPLoss", "clip_loss", "clip_logits", "clip_loss_local_rows"]
+__all__ = ["CLIPLoss", "clip_loss", "clip_logits", "clip_loss_local_rows",
+           "clip_loss_sharded"]
 
 EPS = 1e-12
 
@@ -31,10 +32,16 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     (B, F, T) → (B, F·T) reshape forces XLA layout copies in both the
     forward and backward pass (~2 ms/step at seq2seq scale on v5e,
     tools/profile_step.py); reducing over the trailing axes in place does
-    the same math with zero data movement."""
+    the same math with zero data movement.
+
+    The epsilon goes INSIDE the sqrt: ``maximum(sqrt(s), EPS)`` has a
+    well-defined forward but d√s/ds = ∞ at s = 0, so an exactly-zero row
+    (zero-padded sample, dead encoder output) would turn the whole step's
+    gradient into NaN via 0·∞."""
     axes = tuple(range(1, v.ndim))
-    norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True))
-    return v / jnp.maximum(norm, EPS)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axes, keepdims=True),
+                                EPS * EPS))
+    return v / norm
 
 
 def _cosine_logits(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

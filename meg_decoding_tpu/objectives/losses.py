@@ -38,6 +38,7 @@ def same_label_loss(Z: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     ``mean((Z[i]-Z[j])²)`` for every j≠i with the same label.
     """
     B = Z.shape[0]
+    Z = Z.reshape(B, -1)  # seq2seq (B, F, T) embeddings flatten like clip.py
     same = labels[:, None] == labels[None, :]
     mask = same & ~jnp.eye(B, dtype=bool)
     d2 = jnp.mean((Z[:, None, :] - Z[None, :, :]) ** 2, axis=-1)  # (B, B)

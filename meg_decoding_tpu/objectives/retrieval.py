@@ -107,9 +107,9 @@ def pairwise_identification(Z, Y, metric: str = "correlation") -> jnp.ndarray:
         raise ValueError(metric)
     B = sim.shape[0]
     true_sim = jnp.diagonal(sim)[:, None]
+    # the strict '>' already excludes the self comparison from the numerator
     wins = (true_sim > sim).astype(jnp.float32)
-    # exclude the self comparison from the denominator
-    return (jnp.sum(wins, axis=1) - 0.0) / (B - 1)
+    return jnp.sum(wins, axis=1) / max(B - 1, 1)
 
 
 def pairwise_identification_gallery(Z, gallery, target_idx,

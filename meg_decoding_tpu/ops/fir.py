@@ -31,13 +31,49 @@ from scipy.signal import firwin
 __all__ = ["design_bandpass_fir", "apply_fir", "bandpass_filter"]
 
 
+_HAMMING_LENGTH_FACTOR = 3.3  # MNE _length_factors['hamming']
+
+
+def _edge_lowpass(cutoff_hz: float, trans_hz: float, sfreq: float,
+                  total_len: int) -> np.ndarray:
+    """One edge's lowpass prototype, centered in a ``total_len`` buffer.
+
+    The prototype's length — and therefore THIS edge's transition width —
+    comes from this edge's own transition bandwidth
+    (``round(3.3·sfreq/trans)``, odd, capped at the total length), matching
+    MNE's ``_firwin_design`` which composes multi-edge filters from
+    per-edge prototypes instead of giving every edge the narrowest
+    transition."""
+    nyq = sfreq / 2.0
+    n = int(round(_HAMMING_LENGTH_FACTOR * sfreq / trans_hz))
+    n += 1 - (n % 2)  # odd → symmetric, integer group delay
+    n = min(n, total_len if total_len % 2 else total_len - 1)
+    lp = firwin(n, np.clip(cutoff_hz, 1e-6, nyq - 1e-6), window="hamming",
+                pass_zero=True, fs=sfreq)
+    out = np.zeros(total_len)
+    off = (total_len - n) // 2
+    out[off:off + n] = lp
+    return out
+
+
 def design_bandpass_fir(
     sfreq: float,
     l_freq: float | None,
     h_freq: float | None,
     filter_length: int | None = None,
 ) -> np.ndarray:
-    """Design an MNE-style hamming-window FIR band/low/high-pass filter."""
+    """Design an MNE-style hamming-window FIR band/low/high-pass filter.
+
+    Matches ``mne.filter`` semantics: per-edge transition bandwidths
+    (``0.25·f`` clamped to [2 Hz, available band]), total length from the
+    NARROWEST transition, and — like MNE's ``_firwin_design`` — the filter
+    is composed from per-edge lowpass prototypes (band-pass = LP(high edge)
+    − LP(low edge), high-pass = δ − LP(edge)), so each edge rolls off over
+    its OWN transition band.  A single full-length ``firwin`` would instead
+    give the wide edge the narrow edge's rolloff — e.g. a 1–60 Hz bandpass
+    at 1 kHz would cut 60→61 Hz instead of MNE's 60→75 Hz (h_trans=15), a
+    silent numerical divergence from the reference preprocessing.
+    """
     nyq = sfreq / 2.0
     trans = []
     if l_freq is not None and l_freq > 0:
@@ -53,21 +89,21 @@ def design_bandpass_fir(
     if not trans:
         return np.array([1.0])
     if filter_length is None:
-        filter_length = int(np.ceil(3.3 / min(trans) * sfreq))
+        filter_length = int(np.ceil(_HAMMING_LENGTH_FACTOR / min(trans) * sfreq))
     if filter_length % 2 == 0:
         filter_length += 1
 
     if l_freq is not None and h_freq is not None:
-        f_l = l_freq - l_trans / 2.0
-        f_h = h_freq + h_trans / 2.0
-        h = firwin(filter_length, [max(f_l, 1e-6), min(f_h, nyq - 1e-6)],
-                   window="hamming", pass_zero=False, fs=sfreq)
-    elif l_freq is not None:  # high-pass
-        h = firwin(filter_length, max(l_freq - l_trans / 2.0, 1e-6),
-                   window="hamming", pass_zero=False, fs=sfreq)
+        h = (_edge_lowpass(h_freq + h_trans / 2.0, h_trans, sfreq, filter_length)
+             - _edge_lowpass(l_freq - l_trans / 2.0, l_trans, sfreq,
+                             filter_length))
+    elif l_freq is not None:  # high-pass: spectral inversion of the edge LP
+        h = -_edge_lowpass(l_freq - l_trans / 2.0, l_trans, sfreq,
+                           filter_length)
+        h[filter_length // 2] += 1.0
     else:  # low-pass
-        h = firwin(filter_length, min(h_freq + h_trans / 2.0, nyq - 1e-6),
-                   window="hamming", pass_zero=True, fs=sfreq)
+        h = _edge_lowpass(h_freq + h_trans / 2.0, h_trans, sfreq,
+                          filter_length)
     return h.astype(np.float64)
 
 
@@ -78,8 +114,7 @@ def _reflect_limited_pad(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=-1)
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << (n - 1).bit_length()
+from meg_decoding_tpu.ops.fft import _next_pow2  # single shared definition
 
 
 @partial(jax.jit, static_argnames=("pad",))

@@ -34,8 +34,10 @@ _LANE = 128
 
 
 def padded_window(length: int) -> int:
-    """Aligned fetch size covering a length-``length`` window at any offset."""
-    return ((length + 2 * _LANE - 1) // _LANE) * _LANE
+    """Aligned fetch size covering a length-``length`` window at any lane
+    offset in [0, 128): the smallest multiple of 128 ≥ length + 127 (one
+    more block would waste a 128-lane DMA column per sample)."""
+    return ((length + 2 * _LANE - 2) // _LANE) * _LANE
 
 
 def pad_time_for_gather(T: int, length: int) -> int:

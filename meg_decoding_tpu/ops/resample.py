@@ -28,7 +28,14 @@ _ROW_CHUNK = 16  # Bluestein intermediate is (rows, next_pow2(2n)) c64
 
 
 def resample_len(n: int, up: float = 1.0, down: float = 1.0) -> int:
-    return int(np.ceil(n * up / down))
+    """Output length for resampling ``n`` samples by ``up/down``.
+
+    ``round`` (MNE's semantics), not ``ceil``: with a ratio constructed as
+    ``target/n`` a 1-ulp float error upward would make ceil return
+    ``target+1`` — resampling onto the wrong grid and silently misaligning
+    e.g. EEG vs audio embeddings (brennan.py computes the ratio that way).
+    """
+    return int(round(n * up / down))
 
 
 def _resample_rows(x2: jnp.ndarray, new_len: int) -> jnp.ndarray:

@@ -46,8 +46,10 @@ def _percentile_sorted(xs: jnp.ndarray, q: float) -> jnp.ndarray:
 def robust_scale(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """(x − median) / IQR along ``axis`` (RobustScaler semantics).
 
-    IQR of exactly 0 (constant signal) divides by 1.0, matching sklearn's
-    ``scale_ = 1`` fallback for zero-variance features.
+    Near-zero IQR falls back to a scale of 1.0 using sklearn's own
+    threshold (``_handle_zeros_in_scale``: ``scale < 10·eps``) — an exact
+    ``== 0`` test would divide a quantization-noise channel by a ~1e-7 IQR
+    and blow it up to the clamp limit instead of leaving it centered.
     """
     x_moved = jnp.moveaxis(x, axis, -1)
     # keys-only unstable sort: jnp.sort's default stable sort makes XLA carry
@@ -60,7 +62,7 @@ def robust_scale(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     q25 = _percentile_sorted(xs, 25.0)
     q75 = _percentile_sorted(xs, 75.0)
     iqr = q75 - q25
-    iqr = jnp.where(iqr == 0.0, 1.0, iqr)
+    iqr = jnp.where(iqr < 10 * jnp.finfo(x.dtype).eps, 1.0, iqr)
     scaled = (x_moved - med[..., None]) / iqr[..., None]
     return jnp.moveaxis(scaled, -1, axis)
 

@@ -38,6 +38,32 @@ class TestFIR:
         assert np.all(np.abs(Hmag[passband] - 1) < 0.01)
         assert np.all(Hmag[stop_hi] < 0.01)
 
+    def test_per_edge_transition_widths(self):
+        """MNE composes band filters from per-edge lowpass prototypes, so
+        each edge rolls off over its OWN transition band: 1–60 Hz at 1 kHz
+        has l_trans=1 Hz but h_trans=15 Hz (60→75 Hz).  A single firwin
+        would give the high edge the 1 Hz rolloff (gain ≈ 1 at 65 Hz,
+        ≈ 0 at 69 Hz) — a silent divergence from the reference
+        preprocessing."""
+        from scipy.signal import freqz
+
+        fs = 1000.0
+        h = design_bandpass_fir(fs, 1.0, 60.0)
+        w, H = freqz(h, worN=16384, fs=fs)
+        Hmag = np.abs(H)
+
+        def gain(f):
+            return float(Hmag[np.argmin(np.abs(w - f))])
+
+        assert gain(67.5) == pytest.approx(0.5, abs=0.1)  # transition mid
+        assert 0.55 < gain(64.0) < 0.95   # inside the 15 Hz rolloff…
+        assert 0.05 < gain(71.0) < 0.45   # …on both sides
+        assert gain(78.0) < 0.02          # past the transition
+        # low edge keeps its narrow 1 Hz transition (stop 0 Hz → pass
+        # 1 Hz, cutoff midpoint 0.5 Hz); the passband edge itself stays ≈ 1
+        assert gain(0.5) == pytest.approx(0.5, abs=0.15)  # transition mid
+        assert gain(1.0) > 0.95 and gain(2.5) > 0.99
+
     def test_apply_matches_scipy_zero_phase(self):
         """Oracle: direct zero-padded convolution with delay compensation."""
         rng = np.random.RandomState(0)
