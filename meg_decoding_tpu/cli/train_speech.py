@@ -213,14 +213,14 @@ def run(cfg: Config) -> dict:
         # the device-resident fast paths (fuse_gather / scan epochs).
         from meg_decoding_tpu.data.gwilliams import to_host
 
-        if isinstance(train_set.ds, GwilliamsPacked):
-            train_set.ds = to_host(train_set.ds)
-            test_set.ds = to_host(test_set.ds) if test_set.ds is not train_set.ds \
-                else train_set.ds
-        else:  # Brennan-style PackedDataset
-            train_set.ds = train_set.ds.to_host()
-            if test_set.ds is not train_set.ds:
-                test_set.ds = test_set.ds.to_host()
+        # check sharing BEFORE reassigning: shallow-split loaders wrap the
+        # SAME packed object, and spilling it twice would pull the multi-GB
+        # recordings device→host twice and hold two host copies
+        shared = test_set.ds is train_set.ds
+        spill = (to_host if isinstance(train_set.ds, GwilliamsPacked)
+                 else lambda d: d.to_host())
+        train_set.ds = spill(train_set.ds)
+        test_set.ds = train_set.ds if shared else spill(test_set.ds)
         cfg.fuse_gather = False
         cfg.use_scan_epochs = False
 

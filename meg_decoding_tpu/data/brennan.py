@@ -166,6 +166,8 @@ def build_brennan_dataset(cfg, Y_stream: np.ndarray,
     # per-chunk baseline correction (brennan :136-142)
     baseline_len = int(seg_len * float(pre.baseline_len_sec) / float(pre.seq_len_sec))
     if baseline_len > 0:
-        Xc = Xc - jnp.mean(Xc[..., :baseline_len], axis=-1, keepdims=True)
+        from meg_decoding_tpu.ops.scaling import baseline_correct
+
+        Xc = baseline_correct(Xc, baseline_len)
 
     return BrennanPacked(Xc, Yc)

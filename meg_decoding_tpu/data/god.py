@@ -191,7 +191,11 @@ def build_god_dataset(
         Y=jnp.asarray(Y),
         subject_idxs=jnp.asarray(subs),
         labels=jnp.asarray(labels.astype(np.int32)),
-        num_subjects=len(np.unique(subs)),
+        # count CONFIGURED subjects, not observed ones: if a configured
+        # subject contributes no epochs here, unique(subs) would undercount
+        # and the per-subject weight gather W[subject_idxs] would silently
+        # clamp the out-of-range index onto another subject's weights
+        num_subjects=len(sub_list),
         mean_X=mean_X, std_X=std_X, mean_Y=mean_Y, std_Y=std_Y,
     )
 

@@ -17,7 +17,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from meg_decoding_tpu.models.layers import ConvBlock, SpatialAttention, SubjectLayers
+from meg_decoding_tpu.models.layers import (
+    ConvBlock,
+    SpatialAttention,
+    SubjectLayers,
+    torch_bias_init,
+    torch_kernel_init,
+)
 
 __all__ = ["SubjectBlock", "BrainEncoder", "BrainEncoderSeq2Static"]
 
@@ -41,7 +47,9 @@ class SubjectBlock(nn.Module):
         X = SpatialAttention(
             loc=self.loc, D1=self.D1, K=self.K, d_drop=self.d_drop, name="spatial_attention"
         )(X, deterministic=not train)
-        X = nn.Dense(features=self.D1, name="conv", dtype=self.dtype)(X)
+        X = nn.Dense(features=self.D1, name="conv", dtype=self.dtype,
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.D1))(X)
         X = SubjectLayers(num_subjects=self.num_subjects, dim=self.D1, name="subject_layer")(
             X, subject_idxs
         )
@@ -83,9 +91,15 @@ class BrainEncoder(nn.Module):
             X = ConvBlock(k=k, D2=self.D2, dtype=self.dtype, name=f"conv{k}")(
                 X, train=train)
         X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
-                                 dtype=self.dtype)(X), approximate=False)
+                                 dtype=self.dtype,
+                                 kernel_init=torch_kernel_init,
+                                 bias_init=torch_bias_init(self.D2))(X),
+                        approximate=False)
         X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
-                                 dtype=self.dtype)(X), approximate=False)
+                                 dtype=self.dtype,
+                                 kernel_init=torch_kernel_init,
+                                 bias_init=torch_bias_init(2 * self.D2))(X),
+                        approximate=False)
         X = X.astype(jnp.float32)  # loss/metrics always run f32
         if self.seq2seq:
             return jnp.swapaxes(X, 1, 2)  # (B, F, T) like the reference
@@ -129,6 +143,12 @@ class BrainEncoderSeq2Static(nn.Module):
                 X = nn.avg_pool(X, window_shape=(3,), strides=(2,), padding="VALID")
             else:
                 X = jnp.mean(X, axis=1, keepdims=True)  # global average pool
-        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1")(X), approximate=False)
-        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2")(X), approximate=False)
+        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
+                                 kernel_init=torch_kernel_init,
+                                 bias_init=torch_bias_init(self.D2))(X),
+                        approximate=False)
+        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
+                                 kernel_init=torch_kernel_init,
+                                 bias_init=torch_bias_init(2 * self.D2))(X),
+                        approximate=False)
         return X[:, 0, :]  # (B, F): time dim already collapsed to 1

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from meg_decoding_tpu.models.layers import torch_bias_init, torch_kernel_init
+
 __all__ = ["EEGNet", "EEGNetSub", "LinearEncoder"]
 
 
@@ -48,7 +50,7 @@ class EEGNet(nn.Module):
         # (B, C, T) → NHWC (B, C, T, 1)
         h = X[..., None]
         h = nn.Conv(self.F1, kernel_size=(1, self.k1), padding="SAME", use_bias=False,
-                    name="conv1")(h)
+                    name="conv1", kernel_init=torch_kernel_init)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          name="bn1")(h)
         return self._tail(h, train)
@@ -59,7 +61,7 @@ class EEGNet(nn.Module):
         # depthwise spatial conv over all channels: kernel (C, 1), groups=F1
         h = nn.Conv(self.D * self.F1, kernel_size=(self.num_channels, 1),
                     padding="VALID", feature_group_count=self.F1, use_bias=False,
-                    name="conv2")(h)  # (B, 1, T, D*F1)
+                    name="conv2", kernel_init=torch_kernel_init)(h)  # (B, 1, T, D*F1)
         h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          name="bn2")(h)
         h = nn.elu(h)
@@ -69,8 +71,8 @@ class EEGNet(nn.Module):
         # separable conv: depthwise (1, k2) then pointwise 1×1 → F2
         h = nn.Conv(self.D * self.F1, kernel_size=(1, self.k2), padding="SAME",
                     feature_group_count=self.D * self.F1, use_bias=False,
-                    name="conv3_dw")(h)
-        h = nn.Conv(self.F2, kernel_size=(1, 1), use_bias=False, name="conv3_pw")(h)
+                    name="conv3_dw", kernel_init=torch_kernel_init)(h)
+        h = nn.Conv(self.F2, kernel_size=(1, 1), use_bias=False, name="conv3_pw", kernel_init=torch_kernel_init)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
                          name="bn3")(h)
         h = nn.elu(h)
@@ -78,7 +80,9 @@ class EEGNet(nn.Module):
         h = nn.Dropout(rate=self.dr2, deterministic=not train)(h)
 
         h = h.reshape(h.shape[0], -1)
-        return nn.Dense(self.out_dim, name="classifier")(h)
+        return nn.Dense(self.out_dim, name="classifier",
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(int(h.shape[-1])))(h)
 
 
 class EEGNetSub(EEGNet):
@@ -130,4 +134,6 @@ class LinearEncoder(nn.Module):
     def __call__(self, X, subject_idxs=None, *, train: bool = False):
         if self.scp:
             X = jnp.mean(X, axis=-1)  # (B, C, T) → (B, C)
-        return nn.Dense(self.out_dim, name="linear")(X)
+        return nn.Dense(self.out_dim, name="linear",
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(int(X.shape[-1])))(X)

@@ -35,7 +35,31 @@ __all__ = [
     "spatial_dropout_mask",
     "SubjectLayers",
     "ConvBlock",
+    "torch_kernel_init",
+    "torch_bias_init",
 ]
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv/Linear default init: ``kaiming_uniform(a=√5)`` →
+    ``U[−1/√fan_in, 1/√fan_in]`` (flax's default is lecun_normal — ~3×
+    lower variance — which measurably changes from-scratch training
+    dynamics vs the reference).  flax kernels are (..., in/groups, out), so
+    ``fan_in = prod(shape[:-1])`` matches torch's ``in/groups · kh · kw``."""
+    bound = 1.0 / np.sqrt(np.prod(shape[:-1]))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias init ``U[−1/√fan_in, 1/√fan_in]`` (flax default
+    is zeros).  fan_in isn't derivable from the bias shape, so it's bound
+    per layer."""
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def fourier_basis(loc: np.ndarray, K: int) -> tuple[np.ndarray, np.ndarray]:
@@ -144,11 +168,12 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, X: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        conv = lambda feats, name: nn.Conv(
+        conv = lambda feats, cin, name: nn.Conv(
             features=feats, kernel_size=(self.ks,), padding="SAME", name=name,
-            dtype=self.dtype,
+            dtype=self.dtype, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(cin * self.ks),
         )
-        h = conv(self.D2, "conv0")(X)
+        h = conv(self.D2, X.shape[-1], "conv0")(X)
         if self.k > 0:
             h = h + X  # skip (only when in/out dims match, models.py:308-312)
         h = nn.BatchNorm(
@@ -157,7 +182,7 @@ class ConvBlock(nn.Module):
         )(h)
         h = jax.nn.gelu(h, approximate=False)
 
-        h2 = conv(self.D2, "conv1")(h) + h
+        h2 = conv(self.D2, self.D2, "conv1")(h) + h
         h2 = nn.BatchNorm(
             use_running_average=not train, momentum=self.bn_momentum, name="bn1",
             dtype=self.dtype,
@@ -169,6 +194,6 @@ class ConvBlock(nn.Module):
         # 640-channel activation before the elementwise GLU (~0.2 ms/block
         # fwd + as much in bwd on v5e); two D2-wide convs with the kernel
         # halves are the same math and fuse into the conv epilogues.
-        a = conv(self.D2, "conv2a")(h2)
-        b = conv(self.D2, "conv2b")(h2)
+        a = conv(self.D2, self.D2, "conv2a")(h2)
+        b = conv(self.D2, self.D2, "conv2b")(h2)
         return a * jax.nn.sigmoid(b)

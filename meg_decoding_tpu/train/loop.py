@@ -39,9 +39,12 @@ def _mean_metrics(history: list[dict]) -> dict:
     if "skipped" not in keys:
         return {k: float(np.mean([float(h[k]) for h in history])) for k in keys}
     valid = [h for h in history if float(h["skipped"]) == 0.0]
+    unmasked = ("skipped", "temp")  # carried through skipped steps unmasked
     out = {k: (float(np.mean([float(h[k]) for h in valid])) if valid else 0.0)
-           for k in keys if k != "skipped"}
-    out["skipped"] = float(np.mean([float(h["skipped"]) for h in history]))
+           for k in keys if k not in unmasked}
+    for k in unmasked:
+        if k in keys:
+            out[k] = float(np.mean([float(h[k]) for h in history]))
     return out
 
 
@@ -262,6 +265,14 @@ def resume_if_requested(cfg, ckpt, state, save_root: str):
         for line in open(log):
             last_epoch = max(last_epoch, int(_json.loads(line).get("epoch", -1)))
     start_epoch = last_epoch + 1
+    # metrics.jsonl is written BEFORE ckpt.save each epoch; a crash between
+    # the two leaves logs one epoch ahead of the checkpoint.  The restored
+    # state.step is ground truth — with a fixed updates-per-epoch schedule,
+    # cap start_epoch so the lost epoch is retrained, keeping the
+    # (seed, epoch)-derived sampling keys consistent with the params.
+    updates = cfg.get("updates")
+    if updates:
+        start_epoch = min(start_epoch, int(state.step) // int(updates))
     print(f"resumed from model_last at epoch {start_epoch} "
           f"(step {int(state.step)})")
     return state, start_epoch
@@ -290,6 +301,20 @@ def fit_scan(
         ekey, tkey = jax.random.split(jax.random.fold_in(base_key, epoch))
         state, tm = scan_epoch(state, ekey)
         tm = {k: float(v) for k, v in tm.items()}
+        # same failure detection as fit(): an epoch whose every step was
+        # skipped (or whose loss is non-finite) must abort BEFORE the state
+        # overwrites the last good checkpoint — on the scan path the
+        # masked-to-0 metrics would otherwise log train_loss 0.0 forever
+        if tm.get("skipped", 0.0) >= 1.0:
+            raise FloatingPointError(
+                f"every step of epoch {epoch} was skipped (non-finite "
+                "loss/grads) — state NOT checkpointed; restore model_last "
+                "and lower the learning rate")
+        if not np.isfinite(tm.get("loss", 0.0)):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch}: {tm.get('loss')}"
+                " — state NOT checkpointed; restore model_last and lower "
+                "the learning rate")
 
         test_metrics = _eval_test_pools(cfg, test_set, eval_step, state, tkey,
                                         test_size, None, with_labels=False)

@@ -184,11 +184,14 @@ def _build_epoch(step_fn, gather_fn, updates: int, batch_size: int, n: int,
         subkeys = jax.random.split(key, updates)
         state, metrics = jax.lax.scan(body, state, (idx, subkeys))
         # mirror loop._mean_metrics: steps skipped by the non-finite guard
-        # carry masked-to-0 metrics — average the others over VALID steps
-        # only so a partially-skipped epoch doesn't underreport its loss
+        # carry masked-to-0 metrics — average those over VALID steps only so
+        # a partially-skipped epoch doesn't underreport its loss.  'temp'
+        # (and 'skipped' itself) are NOT masked, so they take the plain mean
+        # — dividing temp's full-epoch sum by n_valid would inflate it.
         if "skipped" in metrics:
             n_valid = jnp.maximum(updates - jnp.sum(metrics["skipped"]), 1.0)
-            means = {k: (jnp.mean(v, axis=0) if k == "skipped"
+            unmasked = ("skipped", "temp")
+            means = {k: (jnp.mean(v, axis=0) if k in unmasked
                          else jnp.sum(v, axis=0) / n_valid)
                      for k, v in metrics.items()}
         else:

@@ -111,9 +111,15 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     ``mesh`` (optional): when training data-parallel, routes the CLIP loss
     through the explicit sharded-collective path (``clip_loss_sharded``) —
     batch sizes must then be divisible by the data-axis size.
+
+    ``gallery``/``gallery_self_sim`` are passed to the jitted function as
+    ARGUMENTS (via the returned wrapper), never closed over — a closed-over
+    jnp array is baked into the HLO as a constant and shipped through the
+    remote-compile relay (CLAUDE.md).
     """
 
-    def train_step(state: TrainState, X, Y, subject_idxs, labels=None):
+    def train_step(state: TrainState, X, Y, subject_idxs, labels,
+                   gallery, gallery_self_sim):
         key, spatial_key, dropout_key = jax.random.split(state.key, 3)
         if collate_cfg.enabled:
             X = collate_preprocess(
@@ -184,15 +190,23 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def step(state, X, Y, subject_idxs, labels=None):
+        return jitted(state, X, Y, subject_idxs, labels, gallery,
+                      gallery_self_sim)
+
+    return step
 
 
 def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
                    gallery=None, gallery_self_sim=None, top_ks=(1, 10)):
     """Build the jitted eval step: forward (running BN stats, no dropout) →
-    loss + retrieval metrics.  Returns (metrics, Z)."""
+    loss + retrieval metrics.  Returns (metrics, Z).  Gallery arrays are
+    jit arguments, not closures (see make_train_step)."""
 
-    def eval_step(params, batch_stats, X, Y, subject_idxs, labels=None):
+    def eval_step(params, batch_stats, X, Y, subject_idxs, labels,
+                  gallery, gallery_self_sim):
         if collate_cfg.enabled:
             X = collate_preprocess(
                 X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
@@ -216,4 +230,10 @@ def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
             metrics.update(retrieval_accuracy(Z, Y, top_ks=top_ks))
         return metrics, Z
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+
+    def step(params, batch_stats, X, Y, subject_idxs, labels=None):
+        return jitted(params, batch_stats, X, Y, subject_idxs, labels,
+                      gallery, gallery_self_sim)
+
+    return step
