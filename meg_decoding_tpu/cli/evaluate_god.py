@@ -66,12 +66,21 @@ def predict(cfg, model, state, dataset, batch_size: int = 256):
             variables["batch_stats"] = batch_stats
         return model.apply(variables, X, subs, train=False)
 
-    zs = []
-    for i in range(0, len(dataset), batch_size):
-        idx = np.arange(i, min(i + batch_size, len(dataset)))
+    # back-overlap the final batch so every call shares ONE static shape —
+    # a tail batch of a new size would recompile (~10 min through the
+    # remote-compile relay, CLAUDE.md); same recipe as evaluate_speech
+    n = len(dataset)
+    bs = min(batch_size, n)
+    out = None
+    for i in range(0, n, bs):
+        start = min(i, n - bs)
+        idx = np.arange(start, start + bs)
         X, _, subs = dataset.gather(idx)[:3]
-        zs.append(np.asarray(fwd(state.params, state.batch_stats, X, subs)))
-    return np.concatenate(zs, axis=0)
+        z = np.asarray(fwd(state.params, state.batch_stats, X, subs))
+        if out is None:
+            out = np.empty((n,) + z.shape[1:], z.dtype)
+        out[start:start + bs] = z
+    return out
 
 
 def run(cfg: Config) -> dict:
@@ -139,7 +148,10 @@ def run(cfg: Config) -> dict:
 
             import csv as _csv
 
-            with open(os.path.join(save_root, "top5.csv")) as f:
+            # run_error_analysis names the CSV by gallery kind
+            csv_name = ("top5_with_imagenet_val.csv" if distractors is not None
+                        else "top5.csv")
+            with open(os.path.join(save_root, csv_name)) as f:
                 rows = [{k: int(float(v)) if k != "acc(scene_id)" else float(v)
                          for k, v in r.items() if k}
                         for r in _csv.DictReader(f)]

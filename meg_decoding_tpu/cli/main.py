@@ -30,11 +30,13 @@ def parse_cli(argv=None, default_config_name: str = "config") -> Config:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a in ("--config-path", "-cp"):
-            config_path = argv[i + 1]
-            i += 2
-        elif a in ("--config-name", "-cn"):
-            config_name = argv[i + 1]
+        if a in ("--config-path", "-cp", "--config-name", "-cn"):
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{a} requires a value")
+            if a in ("--config-path", "-cp"):
+                config_path = argv[i + 1]
+            else:
+                config_name = argv[i + 1]
             i += 2
         elif a.startswith("--config-path="):
             config_path = a.split("=", 1)[1]

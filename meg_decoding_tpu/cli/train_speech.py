@@ -252,20 +252,32 @@ def run(cfg: Config) -> dict:
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  mesh=mesh)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg)
+    # the whole-epoch scan path (checked below) supersedes the per-step
+    # fused path — don't build a fused step (and under a mesh, a session-
+    # sharded dataset copy) that fit_scan would immediately discard
+    scan_path = (cfg.get("use_scan_epochs", False)
+                 and isinstance(train_set.ds, GwilliamsPacked)
+                 and getattr(train_set, "indices", None) is None)
     fused_engaged = False
     if (cfg.dataset == "Gwilliams2022"
+            and not scan_path
             and bool(cfg.get("fuse_gather", True))
             and isinstance(train_set.ds, GwilliamsPacked)):
         # single-dispatch gather+step (train/scan_loop.py); under a mesh the
         # recordings are session-sharded and the gather runs in shard_map
         from meg_decoding_tpu.train.scan_loop import make_fused_speech_step
 
+        shared_ds = test_set.ds is train_set.ds  # shallow split shares one
         fused = make_fused_speech_step(model, optimizer, loss_cfg, collate_cfg,
                                        train_set.ds, mesh=mesh)
         if mesh is not None:
             # drop the unsharded packed arrays (the sharded copy made by
-            # make_fused_speech_step is the one that lives in HBM)
+            # make_fused_speech_step is the one that lives in HBM); a
+            # shallow split's test loader wraps the SAME object — repoint
+            # it too or the full unsharded recordings stay alive all run
             train_set.ds = fused.ds
+            if shared_ds:
+                test_set.ds = fused.ds
         fused_engaged = True
         base_key = jax.random.PRNGKey(seed + 17)
         call_counter = {"n": 0}
@@ -304,9 +316,7 @@ def run(cfg: Config) -> dict:
     from meg_decoding_tpu.train.loop import resume_if_requested
 
     state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
-    if (cfg.get("use_scan_epochs", False)
-            and isinstance(train_set.ds, GwilliamsPacked)
-            and getattr(train_set, "indices", None) is None):
+    if scan_path:
         # whole-epoch scan fast path (sentence/deep splits: the packed set IS
         # the training split; shallow subsets need the per-step driver);
         # runs sharded over the mesh when one is active

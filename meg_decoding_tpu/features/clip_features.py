@@ -42,12 +42,20 @@ def load_clip(model_name: str = "openai/clip-vit-base-patch32",
 
 def preprocess_images(images: np.ndarray) -> np.ndarray:
     """uint8 (N, H, W, 3) → CLIP-normalized float (N, 224, 224, 3).
-    Images are center-resized by simple bilinear interpolation."""
+
+    CLIP's official preprocessing: resize the SHORTEST side to 224
+    (bicubic), then center-crop 224×224 — a straight resize would squash
+    non-square images and skew features vs reference-built galleries."""
     import jax.image
 
     x = jnp.asarray(images, jnp.float32) / 255.0
-    if x.shape[1:3] != (224, 224):
-        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), method="bilinear")
+    N, H, W = x.shape[0], x.shape[1], x.shape[2]
+    if (H, W) != (224, 224):
+        scale = 224.0 / min(H, W)
+        nh, nw = int(round(H * scale)), int(round(W * scale))
+        x = jax.image.resize(x, (N, nh, nw, 3), method="bicubic")
+        top, left = (nh - 224) // 2, (nw - 224) // 2
+        x = x[:, top:top + 224, left:left + 224, :]
     x = (x - _CLIP_MEAN) / _CLIP_STD
     return np.asarray(x)
 

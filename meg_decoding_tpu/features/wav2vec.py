@@ -70,18 +70,19 @@ def _forward_hidden(model, params, wav_chunk: jnp.ndarray):
     return out.hidden_states  # tuple of (1, T', H)
 
 
-_FWD_CACHE: dict = {}
+from collections import OrderedDict
+
+_FWD_CACHE: OrderedDict = OrderedDict()
+_FWD_CACHE_MAX = 2  # the jit closure pins its model (+ executables), so
+# GC-based eviction can never fire; a small LRU bounds the pinning instead
 
 
 def _jitted_last4(model):
     """Per-model cached jitted chunk forward: a fresh ``jax.jit`` wrapper
     re-traces the 24-layer model on every call (~1.5 s of pure Python), so
-    the wrapper must live as long as the model — but no longer: the cache
-    entry (whose closure pins the model and its compiled executables) is
-    evicted when the model is garbage-collected, so sweeping over many
-    models doesn't grow memory without bound."""
-    import weakref
-
+    the wrapper must outlive the call.  The closure necessarily holds the
+    model, so the cache is a small LRU — sweeping over many models pins at
+    most ``_FWD_CACHE_MAX`` of them instead of growing without bound."""
     key = id(model)
     fn = _FWD_CACHE.get(key)
     if fn is None:
@@ -90,10 +91,10 @@ def _jitted_last4(model):
                   output_hidden_states=True, train=False).hidden_states[-4:]),
             axis=0)[0])
         _FWD_CACHE[key] = fn
-        try:
-            weakref.finalize(model, _FWD_CACHE.pop, key, None)
-        except TypeError:
-            pass  # non-weakref-able model: entry lives for the process
+        while len(_FWD_CACHE) > _FWD_CACHE_MAX:
+            _FWD_CACHE.popitem(last=False)
+    else:
+        _FWD_CACHE.move_to_end(key)
     return fn
 
 
@@ -135,6 +136,12 @@ def embed_last4_avg(model, params, waveform: np.ndarray,
     # global frame s//stride + i; interiors are stitched seamlessly.
     ov_frames = max(int(round(overlap_sec * sample_rate / stride)), 1)
     n_chunk_frames = _num_frames(model.config, chunk)
+    if n_chunk_frames <= 2 * ov_frames:
+        raise ValueError(
+            f"chunk_sec={chunk_sec} yields {n_chunk_frames} frames but "
+            f"overlap_sec={overlap_sec} consumes 2×{ov_frames}; the chunk "
+            "window would walk backwards and never finish — increase "
+            "chunk_sec or decrease overlap_sec")
     pieces = []
     pos = 0  # next global frame index to emit
     start = 0

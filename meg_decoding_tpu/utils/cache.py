@@ -51,7 +51,13 @@ def check_preprocs(preproc_params: dict, data_dir: str) -> tuple[str, bool, bool
         if recorded == want:
             return os.path.join(data_dir, name), x_done, y_done
 
-    new_dir = os.path.join(data_dir, str(len(existing)))
+    # first unused number — len(existing) would collide with a surviving
+    # cache when the numbering has holes (e.g. '0' and '2' exist after a
+    # manual delete of '1') and silently clobber its settings.json
+    n = 0
+    while os.path.exists(os.path.join(data_dir, str(n))):
+        n += 1
+    new_dir = os.path.join(data_dir, str(n))
     os.makedirs(new_dir, exist_ok=True)
     with open(os.path.join(new_dir, "settings.json"), "w") as f:
         json.dump({**want, "x_done": False, "y_done": False}, f)

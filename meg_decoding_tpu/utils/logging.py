@@ -30,9 +30,12 @@ class RunLogger:
             try:
                 import wandb  # optional; absent in this image
 
-                self._wandb = wandb
                 wandb.init(project=wandb_cfg.project, entity=wandb_cfg.entity,
                            name=wandb_cfg.run_name)
+                # assign only AFTER init succeeds: a failed init (no
+                # credentials/offline) must leave _wandb unset or every
+                # later log() would crash the run
+                self._wandb = wandb
             except Exception as e:  # missing module or no credentials
                 print(f"[logger] wandb unavailable ({e}); falling back to JSONL only")
 
