@@ -20,6 +20,7 @@ from meg_decoding_tpu.data.layout import ch_locations_2d
 from meg_decoding_tpu.data.roi import roi
 from meg_decoding_tpu.models.layers import fourier_basis, spatial_attention_weights
 from meg_decoding_tpu.train.checkpoint import CheckpointManager
+from meg_decoding_tpu.train.checkpoint import CheckpointManager
 
 
 def plot_attention_maps(z_re, z_im, loc, K, out_path, n_maps=16):
@@ -55,13 +56,10 @@ def main():
     loc = ch_locations_2d(cfg, roi_channels)
 
     # pull z_re/z_im out of the latest checkpoint (works for the
-    # brain_encoder family)
-    import orbax.checkpoint as ocp
-
-    ckpt_dir = os.path.join(save_root, "ckpt")
-    name = "model_best" if os.path.isdir(os.path.join(ckpt_dir, "model_best")) \
-        else "model_last"
-    raw = ocp.StandardCheckpointer().restore(os.path.join(ckpt_dir, name))
+    # brain_encoder family) — through CheckpointManager so the
+    # best→last preference AND the .new/.old generation fallback apply
+    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    raw, _ = ckpt.load_best_or_last(None)
     sa = raw["params"]["model"]["subject_block"]["spatial_attention"]
     z_re, z_im = np.asarray(sa["z_re"]), np.asarray(sa["z_im"])
     K = int(np.sqrt(z_re.shape[1]))

@@ -38,17 +38,24 @@ def load_image_dir(image_dir: str) -> np.ndarray:
         if im.ndim == 2:
             im = np.stack([im] * 3, -1)
         imgs.append(im[..., :3])
-    # resize happens in preprocess; stack requires same size → resize here too
-    from numpy import asarray
-
+    # per-image CLIP-style geometry BEFORE stacking (ragged sizes): resize
+    # the SHORTEST side to 224 then center-crop — a straight 224×224 resize
+    # would squash non-square images and skew the features vs
+    # reference-built galleries (features/clip_features.py:preprocess_images
+    # would then see 224×224 and have nothing left to fix)
     import jax.image
     import jax.numpy as jnp
 
     out = []
     for im in imgs:
-        x = jnp.asarray(im, jnp.float32)[None]
-        x = jax.image.resize(x, (1, 224, 224, 3), method="bilinear")
-        out.append(np.asarray(x[0], np.uint8))
+        H, W = im.shape[:2]
+        scale = 224.0 / min(H, W)
+        nh, nw = int(round(H * scale)), int(round(W * scale))
+        x = jax.image.resize(jnp.asarray(im, jnp.float32)[None],
+                             (1, nh, nw, 3), method="bicubic")
+        top, left = (nh - 224) // 2, (nw - 224) // 2
+        x = jnp.clip(x[0, top:top + 224, left:left + 224, :], 0, 255)
+        out.append(np.asarray(x, np.uint8))
     return np.stack(out)
 
 

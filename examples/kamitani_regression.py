@@ -70,7 +70,16 @@ def run_roi_onset_sweep(cfg, onsets=(0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4)
 
     import json as _json
 
-    with open(cfg.ch_region_path) as f:
+    # same packaged-table fallback as data/roi.py:roi — the sweep must not
+    # crash in setups where plain run() works
+    region_path = cfg.get("ch_region_path")
+    if not (region_path and os.path.exists(region_path)):
+        from meg_decoding_tpu.data import roi as _roi_mod
+
+        region_path = os.path.join(
+            os.path.dirname(os.path.abspath(_roi_mod.__file__)),
+            "layouts", "god_ch_region.json")
+    with open(region_path) as f:
         known_regions = set(_json.load(f).keys())
 
     results = {}

@@ -111,11 +111,19 @@ def build_x(cfg, cache_dir):
             "or provide a prepared cache (data/gwilliams.py docstring)."
         ) from e
 
+    from meg_decoding_tpu.ops.resample import resample_len
+
     pre = cfg.preprocs
     root = os.path.join(cfg.root_dir, "data", "Gwilliams2022")
     x_dict = {}
     acc = {"meg_onsets": {}, "speech_onsets": {}, "sentence_idxs": {}}
-    raws, keys = [], []
+    # STREAM one recording at a time: each raw is ~650 MB as f64 and there
+    # are up to 216 of them — accumulating all raws then batching (the
+    # reference pads them into one array too) needs hundreds of GB.  Per-
+    # recording processing also keeps the FFT resample exact (resampling a
+    # recording zero-padded to the longest length then slicing is NOT the
+    # same signal), and the output length follows resample_len's round()
+    # (MNE semantics) instead of a float truncation.
     for subj in range(NUM_SUBJECTS):
         for sess in range(NUM_SESSIONS):
             for task in range(NUM_TASKS):
@@ -130,23 +138,19 @@ def build_x(cfg, cache_dir):
                 df = raw.to_data_frame()
                 key = accumulate_session(acc, subj, sess, task,
                                          raw.annotations.to_data_frame())
-                meg = np.stack([df[k] for k in df.keys() if "MEG" in k])[:208]
-                raws.append(meg)
-                keys.append(key)
+                meg = np.stack(
+                    [df[k] for k in df.keys() if "MEG" in k]
+                )[:208].astype(np.float32)
+                del raw, df
+                out = preprocess_recordings(
+                    meg[None], 1000.0, float(pre.brain_filter_low),
+                    float(pre.brain_filter_high),
+                    float(pre.brain_resample_rate))
+                n_out = resample_len(meg.shape[1],
+                                     down=1000.0 / float(pre.brain_resample_rate))
+                x_dict[key] = np.asarray(out[0, :, :n_out])
     meg_onsets, speech_onsets, sentence_idxs = (
         acc["meg_onsets"], acc["speech_onsets"], acc["sentence_idxs"])
-
-    # one batched device program over all recordings (pad to longest)
-    T_max = max(r.shape[1] for r in raws)
-    batch = np.zeros((len(raws), 208, T_max), np.float32)
-    for i, r in enumerate(raws):
-        batch[i, :, : r.shape[1]] = r
-    out = preprocess_recordings(batch, 1000.0, float(pre.brain_filter_low),
-                                float(pre.brain_filter_high),
-                                float(pre.brain_resample_rate))
-    scale = float(pre.brain_resample_rate) / 1000.0
-    for i, (key, r) in enumerate(zip(keys, raws)):
-        x_dict[key] = out[i, :, : int(r.shape[1] * scale)]
 
     np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
@@ -172,8 +176,9 @@ def build_y(cfg, cache_dir):
                              "audio")
     # default 'hf': a cache built from randomly initialized embeddings would
     # be silently garbage and permanently marked y_done
-    model, params = load_wav2vec(cfg.get("wav2vec_model"),
-                                 backend=cfg.get("wav2vec_backend", "hf"))
+    model, params = load_wav2vec(
+        cfg.get("wav2vec_model") or "facebook/wav2vec2-large-xlsr-53",
+        backend=cfg.get("wav2vec_backend", "hf"))
     target = int(pre.audio_resample_rate)
     y_dict = {}
     for t, prefix in enumerate(TASK_PREFIXES):

@@ -81,16 +81,16 @@ def main():
     state = create_train_state(model, optimizer, example, jax.random.PRNGKey(0))
     loss_cfg = LossConfig(kind="clip")
     collate_cfg = CollateConfig(baseline_len_samp=60, clamp_lim=20.0)
-    seg_table = jnp.asarray(packed.segment_table())
+    seg_table_np = packed.segment_table()  # passed as a jit ARG below
     n_sessions_total = int(packed.recordings.shape[0])
     rng = np.random.RandomState(0)
 
-    data = (packed.recordings, packed.y_stream, packed.meg_onsets,
-            packed.speech_onsets, packed.session_subject)
+    data = (seg_table_np, packed.recordings, packed.y_stream,
+            packed.meg_onsets, packed.speech_onsets, packed.session_subject)
 
     @jax.jit
-    def gather_only(idx, key, recordings, y_stream, meg_onsets, speech_onsets,
-                    session_subject):
+    def gather_only(idx, key, seg_table, recordings, y_stream, meg_onsets,
+                    speech_onsets, session_subject):
         rows = seg_table[idx]
         sess = jax.random.randint(key, (idx.shape[0],), 0, n_sessions_total)
         return _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
@@ -171,7 +171,10 @@ def main():
                 for name, v in best.items()}
 
     def mk_idx(i):
-        return jnp.asarray(rng.randint(0, len(packed), B))
+        # host numpy, NOT a device array: run_full would otherwise pull it
+        # back with np.asarray every timed step — a synchronous D2H round
+        # trip through the relay inside the timing window
+        return rng.randint(0, len(packed), B)
 
     scalar = float
     first_elem = lambda out: float(out[0][0, 0, 0])
@@ -188,7 +191,7 @@ def main():
     st2 = [jax.tree_util.tree_map(jnp.copy, state)]
 
     def run_full(i):
-        s, m = fused(st2[0], np.asarray(mk_idx(i)), jax.random.PRNGKey(i))
+        s, m = fused(st2[0], mk_idx(i), jax.random.PRNGKey(i))
         st2[0] = s
         return m["loss"]
 

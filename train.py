@@ -6,7 +6,10 @@ Reference: ``train.py`` (Gwilliams2022/Brennan2018 contrastive) and the
 ``configs/config_GOD.yaml``, drop-in compatible keys).
 
     python train.py --config-name config_GOD dataset=GOD epochs=10
+    python train.py dataset=GOD epochs=10   # composes config_GOD automatically
 """
+
+import sys
 
 from meg_decoding_tpu.cli.main import parse_cli
 
@@ -24,5 +27,10 @@ def run(cfg):
 
 
 if __name__ == "__main__":
-    best = run(parse_cli(default_config_name="config"))
+    # a bare `dataset=GOD` override must compose config_GOD (the speech
+    # config lacks the GOD subjects/window/region keys) — mirror evaluate.py
+    overrides = dict(a.split("=", 1) for a in sys.argv[1:]
+                     if "=" in a and not a.startswith("--"))
+    god = overrides.get("dataset") == "GOD"
+    best = run(parse_cli(default_config_name="config_GOD" if god else "config"))
     print("best:", best)
