@@ -20,7 +20,6 @@ from meg_decoding_tpu.data.layout import ch_locations_2d
 from meg_decoding_tpu.data.roi import roi
 from meg_decoding_tpu.models.layers import fourier_basis, spatial_attention_weights
 from meg_decoding_tpu.train.checkpoint import CheckpointManager
-from meg_decoding_tpu.train.checkpoint import CheckpointManager
 
 
 def plot_attention_maps(z_re, z_im, loc, K, out_path, n_maps=16):

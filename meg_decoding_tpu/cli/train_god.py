@@ -123,9 +123,12 @@ def run(cfg: Config) -> dict:
                        use_wandb=bool(cfg.get("use_wandb", False)),
                        wandb_cfg=cfg.get("wandb"))
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
-    from meg_decoding_tpu.train.loop import resume_if_requested
+    from meg_decoding_tpu.train.loop import resume_if_requested, steps_per_epoch
 
-    state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
+    bm = mesh.shape["data"] if mesh else 1
+    state, start_epoch = resume_if_requested(
+        cfg, ckpt, state, save_root,
+        steps_per_epoch_n=steps_per_epoch(cfg, len(train_set), bm))
 
     if (cfg.get("use_scan_epochs", False) and not with_labels
             and not cfg.get("host_resident", False)):

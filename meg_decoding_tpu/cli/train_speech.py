@@ -313,9 +313,12 @@ def run(cfg: Config) -> dict:
                        use_wandb=bool(cfg.get("use_wandb", False)),
                        wandb_cfg=cfg.get("wandb"))
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
-    from meg_decoding_tpu.train.loop import resume_if_requested
+    from meg_decoding_tpu.train.loop import resume_if_requested, steps_per_epoch
 
-    state, start_epoch = resume_if_requested(cfg, ckpt, state, save_root)
+    state, start_epoch = resume_if_requested(
+        cfg, ckpt, state, save_root,
+        steps_per_epoch_n=steps_per_epoch(
+            cfg, len(train_set), mesh.shape["data"] if mesh else 1))
     if scan_path:
         # whole-epoch scan fast path (sentence/deep splits: the packed set IS
         # the training split; shallow subsets need the per-step driver);

@@ -55,13 +55,15 @@ class CheckpointManager:
         with the right shapes/dtypes, e.g. a freshly initialized one).
 
         Falls back across generations when the preferred directory is
-        missing or fails to load.  ``<name>.new`` is tried BEFORE
-        ``<name>.old``: a crash between the two rotation renames leaves a
-        COMPLETE newer checkpoint at ``.new`` (and none at ``name``), so
-        preferring ``.old`` would silently lose the last save; a partial
-        ``.new`` simply fails to restore and falls through to ``.old``."""
+        missing or fails to load.  ``<name>.new`` is tried FIRST: in normal
+        operation it does not exist (``save`` renames it away), but a crash
+        after the ``.new`` write completed and before the rotation renames
+        leaves BOTH ``name`` (older) and a COMPLETE ``.new`` (newest) on
+        disk — preferring ``name`` there would silently lose the last save.
+        A partial ``.new`` (crash mid-write) simply fails to restore and
+        falls through to ``name`` → ``.old``."""
         errors = []
-        for cand in (name, name + ".new", name + ".old"):
+        for cand in (name + ".new", name, name + ".old"):
             path = self._path(cand)
             if not os.path.isdir(path):
                 continue
@@ -72,10 +74,10 @@ class CheckpointManager:
                 continue
             if cand != name:
                 warnings.warn(
-                    f"checkpoint '{name}' unreadable "
-                    f"({'; '.join(errors) or 'missing'}); restored previous "
-                    f"generation '{cand}'")  # '.new' is the newest complete
-                # write left by a crash mid-rotation; '.old' the one before
+                    f"restored generation '{cand}' of checkpoint '{name}'"
+                    + (f" (errors: {'; '.join(errors)})" if errors else "")
+                )  # '.new' = newest complete write left by a crash
+                # mid-rotation; '.old' = the generation before 'name'
             return restored
         raise FileNotFoundError(
             f"no restorable checkpoint '{name}' under {self.ckpt_dir}"

@@ -238,10 +238,28 @@ def fit(
     return state, best_metrics
 
 
-def resume_if_requested(cfg, ckpt, state, save_root: str):
+def steps_per_epoch(cfg, n_train: int, batch_multiple: int = 1) -> int:
+    """Actual update steps per epoch, matching ``fit``'s batching: the fixed
+    ``updates`` schedule when ``use_sampler`` (configs/config.yaml:11), else
+    the shuffle-batches count ``n_train // batch_size`` (drop-last)."""
+    bs = min(int(cfg.batch_size), n_train)
+    bs = max((bs // batch_multiple) * batch_multiple, batch_multiple)
+    if bool(cfg.get("use_sampler", True)):
+        return int(cfg.get("updates", max(n_train // bs, 1)))
+    return max(n_train // bs, 1)
+
+
+def resume_if_requested(cfg, ckpt, state, save_root: str,
+                        steps_per_epoch_n: int | None = None):
     """Shared resume logic for the CLI trainers: restore model_last and
     continue epoch numbering at (max logged epoch)+1 across ALL prior run
-    logs (each invocation writes a fresh runs/<ts>/metrics.jsonl)."""
+    logs (each invocation writes a fresh runs/<ts>/metrics.jsonl).
+
+    ``steps_per_epoch_n``: the trainer's actual update steps per epoch (use
+    ``steps_per_epoch``).  With ``use_sampler: false`` (config_GOD.yaml) an
+    epoch is ``len(train_set) // batch_size`` steps, NOT ``cfg.updates`` —
+    capping with the wrong denominator would rewind ``start_epoch`` toward 0
+    and silently retrain completed epochs."""
     import glob
     import json as _json
     import os
@@ -267,12 +285,13 @@ def resume_if_requested(cfg, ckpt, state, save_root: str):
     start_epoch = last_epoch + 1
     # metrics.jsonl is written BEFORE ckpt.save each epoch; a crash between
     # the two leaves logs one epoch ahead of the checkpoint.  The restored
-    # state.step is ground truth — with a fixed updates-per-epoch schedule,
-    # cap start_epoch so the lost epoch is retrained, keeping the
+    # state.step is ground truth — cap start_epoch with the trainer's real
+    # steps-per-epoch so the lost epoch is retrained, keeping the
     # (seed, epoch)-derived sampling keys consistent with the params.
-    updates = cfg.get("updates")
-    if updates:
-        start_epoch = min(start_epoch, int(state.step) // int(updates))
+    if steps_per_epoch_n is None and bool(cfg.get("use_sampler", True)):
+        steps_per_epoch_n = cfg.get("updates")  # legacy-caller fallback
+    if steps_per_epoch_n:
+        start_epoch = min(start_epoch, int(state.step) // int(steps_per_epoch_n))
     print(f"resumed from model_last at epoch {start_epoch} "
           f"(step {int(state.step)})")
     return state, start_epoch

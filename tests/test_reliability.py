@@ -156,7 +156,7 @@ class TestCheckpointCorruptionResilience:
             p = os.path.join(latest, entry)
             shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
-        with pytest.warns(UserWarning, match="restored previous generation"):
+        with pytest.warns(UserWarning, match="restored generation"):
             restored = ckpt.restore("model_last", state1)
         assert int(restored.step) == 1  # previous generation's state
         assert ckpt.exists("model_last")
@@ -187,7 +187,7 @@ class TestCheckpointCorruptionResilience:
         # rename never happened
         shutil.move(str(tmp_path / "ckpt" / "model_last"),
                     str(tmp_path / "ckpt" / "model_last.new"))
-        with pytest.warns(UserWarning, match="restored previous generation"):
+        with pytest.warns(UserWarning, match="restored generation"):
             restored = ckpt.restore("model_last", state1)
         assert int(restored.step) == 2  # the newer complete generation
 
