@@ -114,8 +114,13 @@ def run(cfg: Config) -> dict:
     mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
     state = replicate_fn(state)
 
+    # mesh engages the explicit sharded-CLIP collectives in the per-step
+    # trainer too (the scan path below already passes it) — clip-kind only;
+    # the gallery-classification losses are replicated-gallery ops that XLA
+    # auto-spmd partitions fine
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
-                                 gallery=gallery, gallery_self_sim=gallery_self_sim)
+                                 gallery=gallery, gallery_self_sim=gallery_self_sim,
+                                 mesh=mesh if loss_cfg.kind == "clip" else None)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg,
                                gallery=gallery, gallery_self_sim=gallery_self_sim)
 

@@ -106,6 +106,8 @@ def _load_gwilliams(cfg, seed):
             "scripts in meg_decoding_tpu/data/gwilliams.py (preprocess_recordings) "
             "or point cfg.cache_dir at a reference-format cache."
         )
+    cfg.cache_dir = cache_dir  # discovered dir → visible to ch_locations_2d
+    # (the cache may carry the real BIDS sensor layout as layout.npy)
     x, y, meg_on, sp_on, sent = load_gwilliams_cache(cache_dir)
     split_mode = cfg.get("split_mode", "shallow")
     packed = build_gwilliams_dataset(cfg, x, y, meg_on, sp_on, sent,
@@ -249,6 +251,20 @@ def run(cfg: Config) -> dict:
                                init_temperature=float(cfg.get("init_temperature", 5.1)))
     mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
     state = replicate_fn(state)
+    if mesh is not None and isinstance(train_set.ds, GwilliamsPacked):
+        # session-shard BOTH splits over the mesh up front.  Splits alias one
+        # recordings/y_stream buffer by construction (build_gwilliams_dataset),
+        # and shard_gwilliams_splits stages aliased buffers once — so the
+        # sentence/deep test split is sharded too instead of staying fully
+        # replicated per chip, and the whole dataset holds ONE sharded copy.
+        from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
+
+        if test_set.ds is train_set.ds:  # shallow split shares the object
+            train_set.ds = test_set.ds = \
+                shard_gwilliams_splits(mesh, train_set.ds)[0]
+        else:
+            train_set.ds, test_set.ds = shard_gwilliams_splits(
+                mesh, train_set.ds, test_set.ds)
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  mesh=mesh)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg)
@@ -267,17 +283,10 @@ def run(cfg: Config) -> dict:
         # recordings are session-sharded and the gather runs in shard_map
         from meg_decoding_tpu.train.scan_loop import make_fused_speech_step
 
-        shared_ds = test_set.ds is train_set.ds  # shallow split shares one
+        # under a mesh train_set.ds is already session-sharded (above), so
+        # make_fused_speech_step reuses it as-is (fused.ds is train_set.ds)
         fused = make_fused_speech_step(model, optimizer, loss_cfg, collate_cfg,
                                        train_set.ds, mesh=mesh)
-        if mesh is not None:
-            # drop the unsharded packed arrays (the sharded copy made by
-            # make_fused_speech_step is the one that lives in HBM); a
-            # shallow split's test loader wraps the SAME object — repoint
-            # it too or the full unsharded recordings stay alive all run
-            train_set.ds = fused.ds
-            if shared_ds:
-                test_set.ds = fused.ds
         fused_engaged = True
         base_key = jax.random.PRNGKey(seed + 17)
         call_counter = {"n": 0}

@@ -402,6 +402,14 @@ def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,
     else:  # shallow: no split here (random_split over segments happens later)
         splits = [{t: np.arange(len(sp_on[t])) for t in tasks}]
 
+    # the splits differ ONLY in their onset tables — recordings / y_stream /
+    # session_subject are uploaded ONCE and aliased by every split, so the
+    # sentence/deep builds hold ONE ~9.3 GB device copy, not one per split
+    # (2×9.34 GB would not fit a 16 GB v5e at full Gwilliams scale)
+    recordings_dev = jnp.asarray(recordings)
+    y_stream_dev = jnp.asarray(y_stream)
+    session_subject_dev = jnp.asarray([subject_of[s] for s in sess_names])
+
     out = []
     for word_idxs in splits:
         n_words = np.asarray([len(word_idxs[t]) for t in tasks])
@@ -415,12 +423,12 @@ def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,
                 ons = meg_on[f"{sname}_{task}"][widx]
                 mo[si, t, : len(widx)] = ons
         out.append(GwilliamsPacked(
-            recordings=jnp.asarray(recordings),
-            y_stream=jnp.asarray(y_stream),
+            recordings=recordings_dev,
+            y_stream=y_stream_dev,
             meg_onsets=jnp.asarray(mo),
             speech_onsets=jnp.asarray(so),
             n_words=n_words,
-            session_subject=jnp.asarray([subject_of[s] for s in sess_names]),
+            session_subject=session_subject_dev,
             seq_len=seq_len,
             num_subjects=len(subjects),
         ))

@@ -118,6 +118,26 @@ def ch_locations_2d(cfg, roi_channels: list[int] | None = None) -> np.ndarray:
 
     if dataset == "Gwilliams2022":
         num = int(cfg.get("num_channels", 208) or 208)
+        # prefer the REAL sensor geometry the cache builder extracted from
+        # the first BIDS recording (scripts/build_gwilliams_cache.py
+        # extract_layout — reference layout.py:20-32 semantics, persisted as
+        # layout.npy so training needs no MNE)
+        cache_dir = cfg.get("cache_dir") if hasattr(cfg, "get") else None
+        layout_path = cache_dir and os.path.join(cache_dir, "layout.npy")
+        if layout_path and os.path.exists(layout_path):
+            loc = np.asarray(np.load(layout_path), dtype=np.float32)[:, :2]
+            if loc.shape[0] >= num:
+                return normalize_locations(loc[:num])
+            warnings.warn(
+                f"cache layout.npy has {loc.shape[0]} channels but the data "
+                f"has {num} — falling back to a synthetic cap")
+        else:
+            warnings.warn(
+                "no cache-resident Gwilliams sensor layout (layout.npy) — "
+                "using a synthetic cap.  SpatialAttention needs the real "
+                "geometry for accuracy parity; rebuild the cache with "
+                "scripts/build_gwilliams_cache.py (which persists the BIDS "
+                "layout) or point cfg.layout_csv at coordinates.")
         return normalize_locations(synthetic_cap_locations(num))
 
     raise ValueError(f"unknown dataset {dataset!r}")

@@ -76,13 +76,39 @@ def clip_loss(x, y, temp, reduction: str = "mean", return_logits: bool = False):
     return loss
 
 
-def clip_loss_local_rows(x_local, y_local, temp, axis_name: str, reduction: str = "mean"):
+def _local_row_topk_hits(logits_rows, local_targets, top_ks):
+    """Per-shard retrieval hit counts from the LOCAL rows of the global
+    logits matrix: for each local row, is its own (global) column among the
+    k best?  Returns {f'top{k}': float hit count} — psum + divide by
+    B_global gives exactly ``retrieval_accuracy_from_sim`` on the full
+    matrix."""
+    logits_rows = jax.lax.stop_gradient(logits_rows)
+    hits = {}
+    for k in top_ks:
+        if k == 1:
+            h = jnp.argmax(logits_rows, axis=1) == local_targets
+        else:
+            kk = min(k, logits_rows.shape[1])
+            _, top_idx = jax.lax.top_k(logits_rows, kk)
+            h = jnp.any(top_idx == local_targets[:, None], axis=-1)
+        hits[f"top{k}"] = jnp.sum(h.astype(jnp.float32))
+    return hits
+
+
+def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
+                         reduction: str = "mean", top_ks=None):
     """Sharded CLIP loss for use inside ``shard_map``/``pmap``.
 
     Each device holds (B_local, F) slices of x and y.  All-gathers both
     embeddings along ``axis_name`` (cheap: B×F floats over ICI), computes the
     local rows of logits and of the transposed logits, and psum-combines the
     per-shard CE sums so every device returns the same global loss.
+
+    ``top_ks``: also return retrieval metrics computed from the local
+    ``x vs all-y`` logit rows (the rows of the matrix the unsharded path
+    scores) — the logits-reuse optimization of the single-chip step, kept
+    under sharding: no second normalize + (B, B) matmul.  Returns
+    ``(loss, {f'top{k}': acc})`` (metrics replicated via psum).
     """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.psum(1, axis_name)
@@ -105,11 +131,16 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str, reduction: str 
     total = jax.lax.psum(loss_sum, axis_name)
     if reduction == "mean":
         total = total / (b_local * n)
-    return total
+    if top_ks is None:
+        return total
+    hits = _local_row_topk_hits(logits_xy, local_targets, top_ks)
+    metrics = {k: jax.lax.psum(v, axis_name) / (b_local * n)
+               for k, v in hits.items()}
+    return total, metrics
 
 
 def clip_loss_sharded(x, y, temp, mesh, reduction: str = "mean",
-                      axis_name: str = "data"):
+                      axis_name: str = "data", top_ks=None):
     """CLIP loss over a batch-sharded (x, y) via ``shard_map`` around
     ``clip_loss_local_rows``: the (B_local, F) embeddings are all-gathered
     over ICI and each device computes only its rows of both CE terms — the
@@ -118,16 +149,23 @@ def clip_loss_sharded(x, y, temp, mesh, reduction: str = "mean",
     Differentiable (shard_map + psum/all_gather have exact transposes); the
     returned scalar is replicated.  Requires B divisible by the data-axis
     size.
+
+    ``top_ks`` (e.g. ``(1, 10)``): additionally return replicated retrieval
+    metrics computed from each shard's local logit rows — see
+    ``clip_loss_local_rows``.  Returns ``(loss, metrics_dict)`` then.
     """
     from jax.sharding import PartitionSpec as P
 
     def local(xl, yl, t):
-        return clip_loss_local_rows(xl, yl, t, axis_name, reduction=reduction)
+        return clip_loss_local_rows(xl, yl, t, axis_name,
+                                    reduction=reduction, top_ks=top_ks)
 
     spec_x = P(axis_name, *([None] * (x.ndim - 1)))
     spec_y = P(axis_name, *([None] * (y.ndim - 1)))
+    out_specs = P() if top_ks is None else \
+        (P(), {f"top{k}": P() for k in top_ks})
     return jax.shard_map(local, mesh=mesh, in_specs=(spec_x, spec_y, P()),
-                         out_specs=P(), check_vma=False)(x, y, temp)
+                         out_specs=out_specs, check_vma=False)(x, y, temp)
 
 
 class CLIPLoss(nn.Module):

@@ -60,13 +60,17 @@ def _l2_penalty(params) -> jnp.ndarray:
 
 
 def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
-                  gallery=None, gallery_self_sim=None, train=True, mesh=None):
-    """Returns ``(loss, sim)`` where ``sim`` is the CLIP logits matrix
-    (rows = Y, cols = Z) when the loss already computed one, else None —
-    the train step reuses it for retrieval metrics (rankings are invariant
+                  gallery=None, gallery_self_sim=None, train=True, mesh=None,
+                  top_ks=(1, 10)):
+    """Returns ``(loss, sim, shard_metrics)``: ``sim`` is the CLIP logits
+    matrix (rows = Y, cols = Z) when the loss computed a full one, else None
+    — the train step reuses it for retrieval metrics (rankings are invariant
     to the positive temperature scale), saving a second full-embedding
-    normalize + (B, B) matmul per step."""
-    sim = None
+    normalize + (B, B) matmul per step.  Under a ``mesh`` the full matrix
+    never exists on one device; ``shard_metrics`` then carries the same
+    retrieval accuracies computed from each shard's local logit rows inside
+    the collective (the multi-chip form of the logits-reuse optimization)."""
+    sim = shard_metrics = None
     if loss_cfg.kind == "clip":
         if mesh is not None:
             # explicit sharded-CLIP collectives (all-gather embeddings over
@@ -74,8 +78,8 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
             # pattern of SURVEY §5.8
             from meg_decoding_tpu.objectives.clip import clip_loss_sharded
 
-            loss = clip_loss_sharded(Y, Z, temp, mesh,
-                                     reduction=loss_cfg.reduction)
+            loss, shard_metrics = clip_loss_sharded(
+                Y, Z, temp, mesh, reduction=loss_cfg.reduction, top_ks=top_ks)
         else:
             sim, loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction,
                                   return_logits=True)
@@ -96,7 +100,7 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
         raise ValueError(loss_cfg.kind)
     if loss_cfg.l2_weight > 0.0:
         loss = loss + loss_cfg.l2_weight * _l2_penalty(params["model"])
-    return loss, sim
+    return loss, sim, shard_metrics
 
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
@@ -138,15 +142,15 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
             else:
                 Z = model.apply(variables, X, subject_idxs, train=True, rngs=rngs)
                 new_batch_stats = {}
-            loss, sim = _compute_loss(loss_cfg, Z, Y, labels,
-                                      params["loss"]["temp"], params, gallery,
-                                      gallery_self_sim, train=True, mesh=mesh)
+            loss, sim, smet = _compute_loss(loss_cfg, Z, Y, labels,
+                                            params["loss"]["temp"], params,
+                                            gallery, gallery_self_sim,
+                                            train=True, mesh=mesh)
             sim = None if sim is None else jax.lax.stop_gradient(sim)
-            return loss, (Z, sim, new_batch_stats)
+            return loss, (Z, sim, smet, new_batch_stats)
 
-        (loss, (Z, sim, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (Z, sim, smet, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         # failure detection (SURVEY §5.3 — the reference has none): a batch
         # producing a non-finite loss or gradient is SKIPPED — params, opt
         # state and BN stats keep their previous values — and counted, so one
@@ -174,13 +178,17 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
         # the reference skeleton tracks retrieval top-k in every variant
         # (train_my_classifier.py shares train.py's metric loop); reuse the
         # loss's logits when available — same matrix up to the positive
-        # temperature scale, so identical rankings at zero extra compute
+        # temperature scale, so identical rankings at zero extra compute.
+        # Under a mesh the sharded loss already scored its local logit rows
+        # (smet) — the multi-chip form of the same reuse.
         if sim is not None:
             from meg_decoding_tpu.objectives.retrieval import (
                 retrieval_accuracy_from_sim,
             )
 
             acc = retrieval_accuracy_from_sim(sim, top_ks=(1, 10))
+        elif smet is not None:
+            acc = smet
         else:
             acc = retrieval_accuracy(Z, Y, top_ks=(1, 10))
         metrics.update({k: jnp.where(ok, v, 0.0) for k, v in acc.items()})
@@ -216,9 +224,9 @@ def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
         if batch_stats:
             variables["batch_stats"] = batch_stats
         Z = model.apply(variables, X, subject_idxs, train=False)
-        loss, sim = _compute_loss(loss_cfg, Z, Y, labels,
-                                  params["loss"]["temp"], params, gallery,
-                                  gallery_self_sim, train=False)
+        loss, sim, _ = _compute_loss(loss_cfg, Z, Y, labels,
+                                     params["loss"]["temp"], params, gallery,
+                                     gallery_self_sim, train=False)
         metrics = {"loss": loss, "temp": params["loss"]["temp"]}
         if sim is not None:
             from meg_decoding_tpu.objectives.retrieval import (

@@ -100,6 +100,21 @@ def accumulate_session(acc: dict, subj: int, sess: int, task: int, df_annot):
     return key
 
 
+def extract_layout(info, n_channels: int = 208) -> np.ndarray:
+    """2-D sensor layout from a recording's measurement info, exactly as the
+    reference builds it at model-construction time
+    (``layout.py:30-32``: ``find_layout(raw.info, 'meg').pos[:, :2]``),
+    sliced to the same leading ``n_channels`` the MEG data keeps.
+
+    Extracted once at CACHE-BUILD time and stored as ``layout.npy`` beside
+    ``x_dict.npy`` so training machines need no MNE — ``ch_locations_2d``
+    prefers a cache-resident layout over the synthetic fallback."""
+    import mne
+
+    layout = mne.channels.find_layout(info, ch_type="meg")
+    return np.asarray(layout.pos[:n_channels, :2], dtype=np.float32)
+
+
 def build_x(cfg, cache_dir):
     try:
         import mne
@@ -116,6 +131,7 @@ def build_x(cfg, cache_dir):
     pre = cfg.preprocs
     root = os.path.join(cfg.root_dir, "data", "Gwilliams2022")
     x_dict = {}
+    layout = None
     acc = {"meg_onsets": {}, "speech_onsets": {}, "sentence_idxs": {}}
     # STREAM one recording at a time: each raw is ~650 MB as f64 and there
     # are up to 216 of them — accumulating all raws then batching (the
@@ -135,6 +151,11 @@ def build_x(cfg, cache_dir):
                     raw = mne_bids.read_raw_bids(bids_path)
                 except Exception:
                     continue
+                if layout is None:
+                    # the reference reads the layout from the FIRST BIDS
+                    # recording (layout.py:20-32); same here, persisted into
+                    # the cache so no MNE is needed at train time
+                    layout = extract_layout(raw.info)
                 df = raw.to_data_frame()
                 key = accumulate_session(acc, subj, sess, task,
                                          raw.annotations.to_data_frame())
@@ -152,6 +173,8 @@ def build_x(cfg, cache_dir):
     meg_onsets, speech_onsets, sentence_idxs = (
         acc["meg_onsets"], acc["speech_onsets"], acc["sentence_idxs"])
 
+    if layout is not None:
+        np.save(os.path.join(cache_dir, "layout.npy"), layout)
     np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
     np.save(os.path.join(cache_dir, "speech_onsets.npy"), speech_onsets,

@@ -52,12 +52,50 @@ def export_gwilliams_layout(bids_root: str):
     print(f"wrote {path} ({loc.shape[0]} channels)")
 
 
+def check_easycap_m10(atol: float = 0.02) -> bool:
+    """Self-certifying oracle: compare the COMMITTED easycap_M10.csv against
+    MNE's exact output (after per-axis min-max normalization, which is what
+    the model consumes — ``normalize_locations``).  Run wherever MNE exists;
+    exits non-zero on disagreement so a deployment's CI catches a drifted
+    reconstruction."""
+    import mne
+
+    montage = mne.channels.make_standard_montage("easycap-M10")
+    info = mne.create_info(ch_names=montage.ch_names, sfreq=512.0,
+                           ch_types="eeg")
+    info.set_montage(montage)
+    layout = mne.channels.find_layout(info, ch_type="eeg")
+    ref = layout.pos[:, :2]
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(LAYOUTS.rstrip(os.sep)))
+    from meg_decoding_tpu.data.layout import (
+        easycap_m10_locations,
+        normalize_locations,
+    )
+
+    got = normalize_locations(easycap_m10_locations())
+    want = normalize_locations(ref)
+    err = np.abs(got - want).max()
+    ok = bool(err <= atol)
+    print(f"easycap-M10 committed-vs-MNE max abs error (normalized): "
+          f"{err:.5f} ({'OK' if ok else f'FAIL > {atol}'})")
+    return ok
+
+
 if __name__ == "__main__":
     import argparse
+    import sys
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--gwilliams-bids-root", default=None)
+    ap.add_argument("--check", action="store_true",
+                    help="verify the committed CSV against MNE instead of "
+                         "overwriting it")
     args = ap.parse_args()
+    if args.check:
+        sys.exit(0 if check_easycap_m10() else 1)
     export_easycap_m10()
     if args.gwilliams_bids_root:
         export_gwilliams_layout(args.gwilliams_bids_root)

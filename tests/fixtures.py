@@ -124,6 +124,12 @@ def make_gwilliams_cache(cache_dir, n_subjects=2, n_sessions_per=2, C=12,
                 x = mix @ y_dict[task] + 0.1 * rng.randn(C, T)
                 x_dict[key] = x.astype(np.float64)
                 meg_onsets[key] = speech_onsets[task]  # same alignment
+    # a cache-resident sensor layout, as build_gwilliams_cache.py persists
+    # from the first BIDS recording (ch_locations_2d prefers it)
+    from meg_decoding_tpu.data.layout import synthetic_cap_locations
+
+    np.save(os.path.join(cache_dir, "layout.npy"),
+            synthetic_cap_locations(C).astype(np.float32))
     np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "y_dict.npy"), y_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
