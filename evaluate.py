@@ -10,17 +10,9 @@ reference lacks (it only scores in-loop).  Usage:
 
 import sys
 
-from meg_decoding_tpu.cli.main import parse_cli
 
 if __name__ == "__main__":
-    # a bare `dataset=Gwilliams2022` override must compose the speech config,
-    # not config_GOD (which lacks the speech preproc keys)
-    overrides = dict(a.split("=", 1) for a in sys.argv[1:]
-                     if "=" in a and not a.startswith("--"))
-    speech = overrides.get("dataset") in ("Gwilliams2022", "Brennan2018")
-    cfg = parse_cli(default_config_name="config" if speech else "config_GOD")
-    if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
-        from meg_decoding_tpu.cli.evaluate_speech import run
-    else:
-        from meg_decoding_tpu.cli.evaluate_god import run
-    run(cfg)
+    # same dispatch as the packaged `meg-decode-evaluate` console script
+    from meg_decoding_tpu.cli.main import evaluate_main
+
+    evaluate_main(sys.argv[1:])

@@ -13,7 +13,7 @@ import sys
 
 from meg_decoding_tpu.core.config import Config, compose
 
-__all__ = ["parse_cli", "default_config_dir"]
+__all__ = ["parse_cli", "default_config_dir", "train_main", "evaluate_main"]
 
 
 def default_config_dir() -> str:
@@ -51,3 +51,42 @@ def parse_cli(argv=None, default_config_name: str = "config") -> Config:
             raise SystemExit(f"unrecognized argument {a!r} (expected key=value)")
     cfg = compose(config_path, config_name, overrides)
     return cfg
+
+
+def train_main(argv=None):
+    """Console entry: dispatch to the GOD or speech trainer by ``dataset=``
+    (the logic of the repo-root ``train.py``, packaged for ``pip install``:
+    ``meg-decode-train dataset=GOD epochs=10``)."""
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    overrides = dict(a.split("=", 1) for a in argv
+                     if "=" in a and not a.startswith("--"))
+    god = overrides.get("dataset") == "GOD"
+    cfg = parse_cli(argv, default_config_name="config_GOD" if god else "config")
+    if cfg.dataset == "GOD":
+        from meg_decoding_tpu.cli.train_god import run as _run
+    elif cfg.dataset in ("Gwilliams2022", "Brennan2018"):
+        from meg_decoding_tpu.cli.train_speech import run as _run
+    else:
+        raise SystemExit(f"unknown dataset {cfg.dataset!r}")
+    best = _run(cfg)
+    print("best:", best)
+    return best
+
+
+def evaluate_main(argv=None):
+    """Console entry: dispatch to the GOD or speech evaluator (repo-root
+    ``evaluate.py`` logic, packaged)."""
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    overrides = dict(a.split("=", 1) for a in argv
+                     if "=" in a and not a.startswith("--"))
+    speech = overrides.get("dataset") in ("Gwilliams2022", "Brennan2018")
+    cfg = parse_cli(argv, default_config_name="config" if speech else "config_GOD")
+    if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
+        from meg_decoding_tpu.cli.evaluate_speech import run as _run
+    else:
+        from meg_decoding_tpu.cli.evaluate_god import run as _run
+    return _run(cfg)

@@ -83,6 +83,10 @@ def run(cfg: Config) -> dict:
         train_set = train_set.to_host()
 
     # ---- model ----------------------------------------------------------
+    if (len(jax.devices()) > 1 and bool(cfg.get("data_parallel", True))
+            and not cfg.get("bn_impl")):
+        cfg.bn_impl = "xla"  # see cli/train_speech.py: Pallas BN has no
+        # partitioning rule under the auto-spmd mesh
     roi_channels = roi(cfg)
     loc = ch_locations_2d(cfg, roi_channels)
     model = get_model(cfg, loc=loc, num_channels=len(roi_channels))
@@ -122,7 +126,8 @@ def run(cfg: Config) -> dict:
                                  gallery=gallery, gallery_self_sim=gallery_self_sim,
                                  mesh=mesh if loss_cfg.kind == "clip" else None)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg,
-                               gallery=gallery, gallery_self_sim=gallery_self_sim)
+                               gallery=gallery, gallery_self_sim=gallery_self_sim,
+                               mesh=mesh)
 
     logger = RunLogger(save_root, run_name=cfg.get("run_name"),
                        use_wandb=bool(cfg.get("use_wandb", False)),

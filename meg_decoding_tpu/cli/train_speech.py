@@ -226,6 +226,12 @@ def run(cfg: Config) -> dict:
         cfg.fuse_gather = False
         cfg.use_scan_epochs = False
 
+    if (len(jax.devices()) > 1 and bool(cfg.get("data_parallel", True))
+            and not cfg.get("bn_impl")):
+        # auto-spmd turns plain BN reductions into synced-BN collectives;
+        # the Pallas BN-stats kernel has no partitioning rule — keep XLA BN
+        # whenever the data-parallel mesh will engage (setup_data_parallel)
+        cfg.bn_impl = "xla"
     num_channels = int(train_set.gather(np.arange(1))[0].shape[1])
     cfg.num_channels = num_channels
     loc = ch_locations_2d(cfg)
@@ -267,7 +273,7 @@ def run(cfg: Config) -> dict:
                 mesh, train_set.ds, test_set.ds)
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  mesh=mesh)
-    eval_step = make_eval_step(model, loss_cfg, collate_cfg)
+    eval_step = make_eval_step(model, loss_cfg, collate_cfg, mesh=mesh)
     # the whole-epoch scan path (checked below) supersedes the per-step
     # fused path — don't build a fused step (and under a mesh, a session-
     # sharded dataset copy) that fit_scan would immediately discard

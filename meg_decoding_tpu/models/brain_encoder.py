@@ -74,6 +74,7 @@ class BrainEncoder(nn.Module):
     seq2seq: bool = False
     num_blocks: int = 5
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
+    bn_impl: str = "auto"  # ConvBlock FusedBatchNorm stats ('xla' under mesh)
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
@@ -88,7 +89,8 @@ class BrainEncoder(nn.Module):
             name="subject_block",
         )(X, subject_idxs, train=train)
         for k in range(self.num_blocks):
-            X = ConvBlock(k=k, D2=self.D2, dtype=self.dtype, name=f"conv{k}")(
+            X = ConvBlock(k=k, D2=self.D2, dtype=self.dtype,
+                          bn_impl=self.bn_impl, name=f"conv{k}")(
                 X, train=train)
         X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
                                  dtype=self.dtype,
@@ -122,6 +124,7 @@ class BrainEncoderSeq2Static(nn.Module):
     F: int = 512
     K: int = 32
     d_drop: float = 0.1
+    bn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
@@ -135,7 +138,8 @@ class BrainEncoderSeq2Static(nn.Module):
             name="subject_block",
         )(X, subject_idxs, train=train)
         for k in range(5):
-            X = ConvBlock(k=k, D2=self.D2, ks=int(self.ks_list[k]), name=f"conv{k}")(
+            X = ConvBlock(k=k, D2=self.D2, ks=int(self.ks_list[k]),
+                          bn_impl=self.bn_impl, name=f"conv{k}")(
                 X, train=train
             )
             if k < 4:

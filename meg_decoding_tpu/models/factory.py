@@ -84,6 +84,9 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
         F=_resolve_F(cfg),
         K=int(cfg.get("K", 32)),
         d_drop=float(cfg.get("d_drop", 0.1)),
+        # 'xla' under a mesh (auto-spmd synced-BN); 'auto' = Pallas stats
+        # kernels on TPU (models/layers.py FusedBatchNorm)
+        bn_impl=str(cfg.get("bn_impl", "auto")),
     )
     if name == "brain_encoder":
         assert loc is not None, "brain_encoder needs sensor locations"

@@ -150,6 +150,57 @@ class SubjectLayers(nn.Module):
         return jnp.einsum("btc,bcd->btd", X, Wb)
 
 
+class FusedBatchNorm(nn.Module):
+    """Drop-in replacement for ``nn.BatchNorm`` (same param/collection names:
+    ``scale``/``bias`` params, ``batch_stats`` ``mean``/``var``) whose
+    training-mode statistics run through the Pallas one-read kernels
+    (``ops/pallas/batchnorm.py``) instead of XLA's materialized
+    convert→reduce fusions — the 3.6 ms/step bf16 overhead item of
+    RESULTS.md "Step profile".
+
+    Semantics: flax fast-variance (biased ``E[x²]−E[x]²``), f32 statistics,
+    running update ``ra = momentum·ra + (1−momentum)·batch``.  The affine
+    output is computed in f32 and rounded once to the compute dtype (flax
+    rounds intermediates to ``dtype`` — ours is strictly more accurate;
+    PARITY.md).  ``impl='xla'`` keeps plain XLA reductions — required under
+    a mesh, where auto-spmd turns them into synced-BN collectives and the
+    Pallas call has no partitioning rule.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.99  # flax nn.BatchNorm default (drop-in parity)
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+    impl: str = "auto"  # auto = Pallas kernels on the TPU backend
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from meg_decoding_tpu.ops.pallas.batchnorm import batch_norm_train
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (C,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (C,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        out_dtype = self.dtype or x.dtype
+        if self.use_running_average:
+            invstd = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a = scale * invstd
+            b = bias - ra_mean.value * a
+            return (x * a + b).astype(out_dtype)
+        y, mean, var = batch_norm_train(x, scale, bias, float(self.epsilon),
+                                        self.impl)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y.astype(out_dtype)
+
+
 class ConvBlock(nn.Module):
     """Residual conv block: conv(+skip) → BN → GELU ×2 → conv(2·D2) → GLU.
 
@@ -165,6 +216,7 @@ class ConvBlock(nn.Module):
     ks: int = 3
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     dtype: jnp.dtype | None = None
+    bn_impl: str = "auto"  # FusedBatchNorm stats impl ('xla' under a mesh)
 
     @nn.compact
     def __call__(self, X: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -176,16 +228,16 @@ class ConvBlock(nn.Module):
         h = conv(self.D2, X.shape[-1], "conv0")(X)
         if self.k > 0:
             h = h + X  # skip (only when in/out dims match, models.py:308-312)
-        h = nn.BatchNorm(
+        h = FusedBatchNorm(
             use_running_average=not train, momentum=self.bn_momentum, name="bn0",
-            dtype=self.dtype,
+            dtype=self.dtype, impl=self.bn_impl,
         )(h)
         h = jax.nn.gelu(h, approximate=False)
 
         h2 = conv(self.D2, self.D2, "conv1")(h) + h
-        h2 = nn.BatchNorm(
+        h2 = FusedBatchNorm(
             use_running_average=not train, momentum=self.bn_momentum, name="bn1",
-            dtype=self.dtype,
+            dtype=self.dtype, impl=self.bn_impl,
         )(h2)
         h2 = jax.nn.gelu(h2, approximate=False)
 

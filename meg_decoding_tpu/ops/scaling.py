@@ -43,38 +43,61 @@ def _percentile_sorted(xs: jnp.ndarray, q: float) -> jnp.ndarray:
     return xs[..., lo] * (1 - frac) + xs[..., hi] * frac
 
 
-def robust_scale(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+def robust_scale(x: jnp.ndarray, axis: int = -1,
+                 impl: str = "auto") -> jnp.ndarray:
     """(x − median) / IQR along ``axis`` (RobustScaler semantics).
 
     Near-zero IQR falls back to a scale of 1.0 using sklearn's own
     threshold (``_handle_zeros_in_scale``: ``scale < 10·eps``) — an exact
     ``== 0`` test would divide a quantization-noise channel by a ~1e-7 IQR
     and blow it up to the clamp limit instead of leaving it centered.
+
+    ``impl``: 'sort' = lane-axis sort + interpolated percentiles;
+    'pallas' = the bisection order-statistic kernel
+    (``ops/pallas/quantile.py`` — same values to ≤1 ulp, ~no sorting-network
+    cost); 'auto' = pallas on the TPU backend for f32, sort elsewhere.
+    Pass 'sort' when tracing under auto-spmd with a batch-sharded ``x`` (the
+    Pallas call has no partitioning rule; the train step does this when a
+    mesh is active).
     """
     x_moved = jnp.moveaxis(x, axis, -1)
-    # keys-only unstable sort: jnp.sort's default stable sort makes XLA carry
-    # an s32 iota companion through the whole (B, C, T) sort — measured 2×
-    # the cost on v5e (tools/profile_step.py); percentiles don't need
-    # stability (equal keys are interchangeable)
-    (xs,) = jax.lax.sort((x_moved,), dimension=x_moved.ndim - 1,
-                         is_stable=False)
-    med = _percentile_sorted(xs, 50.0)
-    q25 = _percentile_sorted(xs, 25.0)
-    q75 = _percentile_sorted(xs, 75.0)
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+        and x_moved.dtype == jnp.float32 and x_moved.ndim >= 2)
+    if use_pallas:
+        from meg_decoding_tpu.ops.pallas.quantile import robust_quantiles
+
+        lead = x_moved.shape[:-1]
+        flat = x_moved.reshape((-1, x_moved.shape[-1]))
+        qs = robust_quantiles(flat, interpret=jax.default_backend() != "tpu")
+        q25 = qs[:, 0].reshape(lead)
+        med = qs[:, 1].reshape(lead)
+        q75 = qs[:, 2].reshape(lead)
+    else:
+        # keys-only unstable sort: jnp.sort's default stable sort makes XLA
+        # carry an s32 iota companion through the whole (B, C, T) sort —
+        # measured 2× the cost on v5e (tools/profile_step.py); percentiles
+        # don't need stability (equal keys are interchangeable)
+        (xs,) = jax.lax.sort((x_moved,), dimension=x_moved.ndim - 1,
+                             is_stable=False)
+        med = _percentile_sorted(xs, 50.0)
+        q25 = _percentile_sorted(xs, 25.0)
+        q75 = _percentile_sorted(xs, 75.0)
     iqr = q75 - q25
     iqr = jnp.where(iqr < 10 * jnp.finfo(x.dtype).eps, 1.0, iqr)
     scaled = (x_moved - med[..., None]) / iqr[..., None]
     return jnp.moveaxis(scaled, -1, axis)
 
 
-@partial(jax.jit, static_argnames=("clamp",))
-def scale_and_clamp(X: jnp.ndarray, clamp_lim: float, clamp: bool = True) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("clamp", "impl"))
+def scale_and_clamp(X: jnp.ndarray, clamp_lim: float, clamp: bool = True,
+                    impl: str = "auto") -> jnp.ndarray:
     """Per-sample, per-channel robust scale over time + clamp.
 
     X: (..., C, T).  Mirrors ``scaleAndClamp`` (fit per leading index over
     the time axis) fused into one op.
     """
-    out = robust_scale(X, axis=-1)
+    out = robust_scale(X, axis=-1, impl=impl)
     if clamp:
         out = jnp.clip(out, -clamp_lim, clamp_lim)
     return out
@@ -117,7 +140,8 @@ def epoch_slice(x: jnp.ndarray, onsets: jnp.ndarray, length: int) -> jnp.ndarray
 
 
 def collate_preprocess(
-    X: jnp.ndarray, baseline_len_samp: int, clamp_lim: float, clamp: bool = True
+    X: jnp.ndarray, baseline_len_samp: int, clamp_lim: float,
+    clamp: bool = True, quantile_impl: str = "auto"
 ) -> jnp.ndarray:
     """The jitted collate kernel: baseline correction → robust scale → clamp.
 
@@ -127,4 +151,4 @@ def collate_preprocess(
     """
     if baseline_len_samp > 0:
         X = baseline_correct(X, baseline_len_samp)
-    return scale_and_clamp(X, clamp_lim, clamp)
+    return scale_and_clamp(X, clamp_lim, clamp, impl=quantile_impl)

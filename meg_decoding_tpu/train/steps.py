@@ -122,13 +122,18 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     remote-compile relay (CLAUDE.md).
     """
 
+    # under a mesh the batch is sharded and traced through auto-spmd, where
+    # the Pallas quantile kernel has no partitioning rule — use the sort
+    # percentiles there (ops/scaling.py robust_scale docstring)
+    qimpl = "sort" if mesh is not None else "auto"
+
     def train_step(state: TrainState, X, Y, subject_idxs, labels,
                    gallery, gallery_self_sim):
         key, spatial_key, dropout_key = jax.random.split(state.key, 3)
         if collate_cfg.enabled:
             X = collate_preprocess(
                 X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
-                collate_cfg.clamp,
+                collate_cfg.clamp, quantile_impl=qimpl,
             )
 
         def loss_fn(params):
@@ -208,17 +213,21 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
 
 
 def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
-                   gallery=None, gallery_self_sim=None, top_ks=(1, 10)):
+                   gallery=None, gallery_self_sim=None, top_ks=(1, 10),
+                   mesh=None):
     """Build the jitted eval step: forward (running BN stats, no dropout) →
     loss + retrieval metrics.  Returns (metrics, Z).  Gallery arrays are
-    jit arguments, not closures (see make_train_step)."""
+    jit arguments, not closures (see make_train_step).  ``mesh`` only picks
+    the sharding-safe quantile impl for the collate (the loss itself runs
+    unsharded on the gathered eval batch)."""
+    qimpl = "sort" if mesh is not None else "auto"
 
     def eval_step(params, batch_stats, X, Y, subject_idxs, labels,
                   gallery, gallery_self_sim):
         if collate_cfg.enabled:
             X = collate_preprocess(
                 X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
-                collate_cfg.clamp,
+                collate_cfg.clamp, quantile_impl=qimpl,
             )
         variables = {"params": params["model"]}
         if batch_stats:

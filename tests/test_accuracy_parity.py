@@ -170,9 +170,10 @@ def test_seq2seq_planted_signal_top10_matches_torch_reference():
     assert abs(acc_jax - acc_torch) <= 0.05, (acc_jax, acc_torch)
 
 
-@pytest.mark.slow
-def test_planted_signal_top10_matches_torch_reference():
-    rng = np.random.RandomState(42)
+def _run_static_anchor(seed: int, steps: int = STEPS):
+    """One paired run of the static-head anchor: both stacks, shared
+    transplanted init, same batch schedule.  Returns (acc_jax, acc_torch)."""
+    rng = np.random.RandomState(seed)
     loc = rng.rand(C, 2).astype(np.float32) * 0.8 + 0.1
     W_plant = (rng.randn(C, F) * 2.0).astype(np.float32)
 
@@ -183,7 +184,7 @@ def test_planted_signal_top10_matches_torch_reference():
 
     Xtr, Ytr, Str = planted(N_TRAIN)
     Xte, Yte, Ste = planted(N_TEST)
-    batch_idx = [rng.randint(0, N_TRAIN, BATCH) for _ in range(STEPS)]
+    batch_idx = [rng.randint(0, N_TRAIN, BATCH) for _ in range(steps)]
 
     # --- jax framework ----------------------------------------------------
     model = BrainEncoder(loc=loc, num_subjects=NSUB, D1=D1, D2=D2, F=F, K=K,
@@ -193,10 +194,10 @@ def test_planted_signal_top10_matches_torch_reference():
         model, opt,
         (jnp.asarray(Xtr[:BATCH]), jnp.asarray(Ytr[:BATCH]),
          jnp.asarray(Str[:BATCH])),
-        jax.random.PRNGKey(0), init_temperature=TEMP0)
+        jax.random.PRNGKey(seed), init_temperature=TEMP0)
 
     # --- torch replica, SAME initial weights --------------------------------
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     tm = TorchBrainEncoder(loc, d1=D1, d2=D2, f_dim=F, k_dim=K,
                            num_subjects=NSUB)
     transplant_into_torch(state.params["model"], tm, NSUB)
@@ -206,12 +207,12 @@ def test_planted_signal_top10_matches_torch_reference():
     step = make_train_step(model, opt, LossConfig(kind="clip"),
                            CollateConfig(enabled=False), donate=False)
     jax_losses, torch_losses = [], []
-    for i in range(STEPS):
+    for i in range(steps):
         b = batch_idx[i]
         state, m = step(state, jnp.asarray(Xtr[b]), jnp.asarray(Ytr[b]),
                         jnp.asarray(Str[b]))
         jax_losses.append(float(m["loss"]))
-    for i in range(STEPS):
+    for i in range(steps):
         b = batch_idx[i]
         topt.zero_grad()
         loss = torch_clip_loss(tm(_t(Xtr[b]), torch.tensor(Str[b])),
@@ -232,11 +233,38 @@ def test_planted_signal_top10_matches_torch_reference():
         Zt = tm(_t(Xte), torch.tensor(Ste)).numpy()
 
     acc_jax, acc_torch = _top10(Z, Yte), _top10(Zt, Yte)
-    print(f"accuracy anchor: jax top10={acc_jax:.4f} "
+    print(f"accuracy anchor seed={seed}: jax top10={acc_jax:.4f} "
           f"torch top10={acc_torch:.4f} diff={abs(acc_jax-acc_torch):.4f}")
+    return acc_jax, acc_torch
+
+
+@pytest.mark.slow
+def test_planted_signal_top10_matches_torch_reference():
+    acc_jax, acc_torch = _run_static_anchor(seed=42)
     # both stacks must have learned the planted signal...
     assert acc_jax > 0.30 and acc_torch > 0.30, (acc_jax, acc_torch)
     # ...and agree closely (measured 2.2 points at 1200 steps; the gate
     # allows 5 to absorb estimator noise on the 512-sample eval set —
     # binomial std alone is ~2.2 points at p≈0.4)
     assert abs(acc_jax - acc_torch) <= 0.05, (acc_jax, acc_torch)
+
+
+@pytest.mark.slow
+def test_mean_seed_diff_certifies_1pt_criterion():
+    """BASELINE.md's actual criterion is 1 POINT — uncertifiable from one
+    paired run (binomial noise alone ~2.2 pts).  Average the PAIRED diff
+    over 5 seeds (both stacks share init + batch schedule per seed, scored
+    on the same eval set, so the diff is dynamics divergence, not eval
+    noise) and gate |mean diff| ≤ 1 pt.  Measured values go in RESULTS.md."""
+    seeds = (1, 2, 3, 4, 5)
+    diffs, rows = [], []
+    for s in seeds:
+        aj, at = _run_static_anchor(seed=s)
+        diffs.append(aj - at)
+        rows.append((s, aj, at))
+    mean_diff = float(np.mean(diffs))
+    sem = float(np.std(diffs, ddof=1) / np.sqrt(len(diffs)))
+    print("seed table:", rows)
+    print(f"mean paired diff={mean_diff*100:.2f} pts  "
+          f"95% CI ±{1.96*sem*100:.2f} pts")
+    assert abs(mean_diff) <= 0.01, (mean_diff, rows)

@@ -91,6 +91,18 @@ class TestShippedConfigs:
                       overrides=["batch_size=8"])
         assert cfg.batch_size == 8
 
+    def test_all_shipped_subject_manifests_compose(self):
+        """sbj01-03 manifests (reference configs_bu0501/subjects/ parity):
+        each composes into config_GOD and carries the full session lists."""
+        for name, n_train in (("sbj01", 1), ("sbj02", 12), ("sbj03", 12)):
+            cfg = compose(os.path.join(REPO, "configs", "subjects"), name)
+            sub = getattr(cfg.subjects, name)
+            assert sub.fs == 1000
+            assert len(sub.train.mat) == n_train
+            assert len(sub.train.mat) == len(sub.train.labels) \
+                == len(sub.train.trigger) == len(sub.train.rest)
+            assert len(sub.val.mat) == len(sub.val.labels)
+
 
 class TestMergeAndRoundtrip:
     def test_deep_merge_override_wins(self):

@@ -11,7 +11,6 @@ Reference: ``train.py`` (Gwilliams2022/Brennan2018 contrastive) and the
 
 import sys
 
-from meg_decoding_tpu.cli.main import parse_cli
 
 
 def run(cfg):
@@ -27,10 +26,7 @@ def run(cfg):
 
 
 if __name__ == "__main__":
-    # a bare `dataset=GOD` override must compose config_GOD (the speech
-    # config lacks the GOD subjects/window/region keys) — mirror evaluate.py
-    overrides = dict(a.split("=", 1) for a in sys.argv[1:]
-                     if "=" in a and not a.startswith("--"))
-    god = overrides.get("dataset") == "GOD"
-    best = run(parse_cli(default_config_name="config_GOD" if god else "config"))
-    print("best:", best)
+    # same dispatch as the packaged `meg-decode-train` console script
+    from meg_decoding_tpu.cli.main import train_main
+
+    train_main(sys.argv[1:])
