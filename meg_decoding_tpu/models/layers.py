@@ -152,26 +152,26 @@ class SubjectLayers(nn.Module):
 
 class FusedBatchNorm(nn.Module):
     """Drop-in replacement for ``nn.BatchNorm`` (same param/collection names:
-    ``scale``/``bias`` params, ``batch_stats`` ``mean``/``var``) whose
-    training-mode statistics run through the Pallas one-read kernels
-    (``ops/pallas/batchnorm.py``) instead of XLA's materialized
-    convert→reduce fusions — the 3.6 ms/step bf16 overhead item of
-    RESULTS.md "Step profile".
+    ``scale``/``bias`` params, ``batch_stats`` ``mean``/``var``) with
+    selectable statistics backends (``ops/pallas/batchnorm.py``): 'auto' =
+    plain XLA reductions — the backend that MEASURED fastest on v5e
+    (tools/ablate_kernels.py; the Pallas one-read and MXU-matmul stats both
+    lose to XLA's joint fusion, RESULTS.md round 3) — with 'pallas'/'mxu'
+    kept as oracle-tested experiments.
 
     Semantics: flax fast-variance (biased ``E[x²]−E[x]²``), f32 statistics,
     running update ``ra = momentum·ra + (1−momentum)·batch``.  The affine
     output is computed in f32 and rounded once to the compute dtype (flax
     rounds intermediates to ``dtype`` — ours is strictly more accurate;
-    PARITY.md).  ``impl='xla'`` keeps plain XLA reductions — required under
-    a mesh, where auto-spmd turns them into synced-BN collectives and the
-    Pallas call has no partitioning rule.
+    PARITY.md).  Under a mesh keep the default: 'xla'/'mxu' auto-partition
+    (synced-BN), the Pallas kernels have no partitioning rule.
     """
 
     use_running_average: bool = False
     momentum: float = 0.99  # flax nn.BatchNorm default (drop-in parity)
     epsilon: float = 1e-5
     dtype: jnp.dtype | None = None
-    impl: str = "auto"  # auto = Pallas kernels on the TPU backend
+    impl: str = "auto"  # measured-best backend (= XLA reductions)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,29 +1,34 @@
-"""Fused BatchNorm statistics kernels + custom-VJP batch norm.
+"""Custom-VJP batch norm with selectable statistics backends.
 
-Why this exists: in the bf16 training step, flax ``nn.BatchNorm`` computes
-its statistics in f32 (correctly), but XLA lowers each ``convert(bf16→f32)``
-feeding a reduction into a MATERIALIZED f32 copy of the whole (B, T, C)
-activation — measured 3.6 ms/step of ``convert_reduce`` fusions in the
-14.56 ms bf16 device step (RESULTS.md "Step profile"), i.e. the converts,
-not the math, are the cost.  These kernels read the bf16 activation ONCE,
-convert in registers, and accumulate the channel sums in f32 VMEM scratch:
+Motivation: the round-2 bf16 step trace showed 3.6 ms/step of
+``convert_reduce`` fusions around flax ``nn.BatchNorm``'s f32 statistics
+(RESULTS.md "Step profile"), suggesting XLA materializes f32 copies of the
+(B, T, C) activation.  Three statistics backends were built and RACED
+on-chip (tools/ablate_kernels.py, interleaved windows — RESULTS.md round 3):
 
-* ``bn_stats(x2d)``      → (Σx, Σx²) per channel — forward statistics;
-* ``bn_bwd_stats(g, x)`` → (Σg, Σg·x̂) per channel — the two reductions of
-  the standard BN backward.
+* ``'xla'``    — plain f32 reductions, flax-equivalent.  **Fastest; the
+  default.**  XLA's joint optimization (conv-epilogue fusion, forward/
+  backward subexpression sharing) beats hand-fused stats — the trace's
+  convert_reduce time is mostly unavoidable activation traffic.
+* ``'pallas'`` — one-read kernels accumulating channel sums in f32 VMEM
+  (``bn_stats`` / ``bn_bwd_stats`` below): +1.4 ms/step (≈20 small
+  pallas_call launches per step outweigh the convert savings).
+* ``'mxu'``    — statistics as MXU matmuls (Σx = ones@x, Σx² = diag(xᵀx),
+  bf16 reads, f32 accumulation): +1.7 ms/step (breaks the same fusions).
 
-``batch_norm_train`` wraps them in a ``jax.custom_vjp`` computing exactly
-flax's fast-variance semantics (``var = E[x²] − E[x]²``, biased) with the
-normalize/affine left to XLA as register-fused elementwise chains.
+All three compute exactly flax's fast-variance semantics
+(``var = E[x²] − E[x]²``, biased) inside one ``jax.custom_vjp``; the
+non-default backends are kept as oracle-tested, documented experiments —
+the same policy as the retired fused CLIP kernel (RESULTS.md "Notes").
 
 Numerics vs ``nn.BatchNorm``: identical formula, f32 accumulation; the only
 deviation is that the affine output is computed in f32 and rounded ONCE to
 the compute dtype, where flax rounds the intermediates to bf16 (ours is
 strictly more accurate; PARITY.md "Known deviations").
 
-Sharding: no partitioning rule — under a mesh (auto-spmd, where flax BN
-gives synced-BN semantics via XLA's psum) use ``impl='xla'``
-(``models/layers.py FusedBatchNorm``).
+Sharding: 'xla' and 'mxu' partition under auto-spmd (synced-BN via psum);
+the Pallas kernels have no partitioning rule — keep the default under a
+mesh.
 """
 
 from __future__ import annotations
@@ -124,17 +129,51 @@ def bn_bwd_stats(g2d: jnp.ndarray, x2d: jnp.ndarray, mean: jnp.ndarray,
     return out[0], out[1]
 
 
-def _use_pallas(impl: str) -> bool:
-    return impl == "pallas" or (impl == "auto"
-                                and jax.default_backend() == "tpu")
+def _resolve_impl(impl: str, dtype) -> str:
+    """'auto' → plain 'xla' reductions — the MEASURED best on v5e.
+
+    tools/ablate_kernels.py (interleaved windows, bf16 fused step, RESULTS.md
+    round 3): vs flax-style XLA reductions, the Pallas stats kernels are
+    +1.4 ms/step and the MXU dot_general formulation (Σx = ones@x,
+    Σx² = diag(xᵀx), one bf16 read each) is +1.7 ms/step.  Both break the
+    joint optimization XLA applies around an ordinary reduce (epilogue
+    fusion with the preceding conv, shared subexpressions with the
+    backward), which is worth more than the converts they save — the
+    round-2 trace's ``convert_reduce`` time is mostly unavoidable
+    activation traffic, not waste.  'pallas' and 'mxu' stay available as
+    documented experiments (same semantics, oracle-tested)."""
+    if impl != "auto":
+        return impl
+    return "xla"
+
+
+def _mxu_colsums(a, b):
+    """column dot products Σ_m a[m,c]·b[m,c] as the DIAGONAL of aᵀb — one
+    (C, C) MXU matmul with f32 accumulation that reads the bf16 operands
+    directly (C=320: ~4.7 GFLOP ≈ 25 µs on v5e, vs a materialized f32
+    convert of the whole (M, C) activation on the VPU path)."""
+    g = jax.lax.dot_general(a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jnp.diagonal(g)
+
+
+def _mxu_stats(x2):
+    M = x2.shape[0]
+    ones = jnp.ones((1, M), x2.dtype)
+    s = jnp.dot(ones, x2, preferred_element_type=jnp.float32)[0]
+    ss = _mxu_colsums(x2, x2)
+    return s, ss
 
 
 def _fwd_stats(x, impl: str):
     C = x.shape[-1]
     M = x.size // C
     x2 = x.reshape(M, C)
-    if _use_pallas(impl):
+    impl = _resolve_impl(impl, x.dtype)
+    if impl == "pallas":
         s, ss = bn_stats(x2, interpret=jax.default_backend() != "tpu")
+    elif impl == "mxu":
+        s, ss = _mxu_stats(x2)
     else:
         xf = x2.astype(jnp.float32)
         s, ss = jnp.sum(xf, axis=0), jnp.sum(xf * xf, axis=0)
@@ -173,9 +212,17 @@ def _bn_bwd(eps, impl, res, cots):
     gy, gmean, gvar = cots
     C = x.shape[-1]
     M = x.size // C
-    if _use_pallas(impl):
+    rimpl = _resolve_impl(impl, x.dtype)
+    if rimpl == "pallas":
         sg, sgx = bn_bwd_stats(gy.reshape(M, C), x.reshape(M, C), mean,
                                invstd, interpret=jax.default_backend() != "tpu")
+    elif rimpl == "mxu":
+        g2, x2 = gy.reshape(M, C), x.reshape(M, C)
+        ones = jnp.ones((1, M), g2.dtype)
+        sg = jnp.dot(ones, g2, preferred_element_type=jnp.float32)[0]
+        # Σ g·x̂ = (Σ g·x − mean·Σ g)·invstd — the cross term is one more
+        # MXU diagonal, so the backward reads g and x in bf16 once each
+        sgx = (_mxu_colsums(g2, x2) - mean * sg) * invstd
     else:
         gf = gy.reshape(M, C).astype(jnp.float32)
         xhat2 = (x.reshape(M, C).astype(jnp.float32) - mean) * invstd

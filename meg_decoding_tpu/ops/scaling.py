@@ -54,16 +54,18 @@ def robust_scale(x: jnp.ndarray, axis: int = -1,
 
     ``impl``: 'sort' = lane-axis sort + interpolated percentiles;
     'pallas' = the bisection order-statistic kernel
-    (``ops/pallas/quantile.py`` — same values to ≤1 ulp, ~no sorting-network
-    cost); 'auto' = pallas on the TPU backend for f32, sort elsewhere.
-    Pass 'sort' when tracing under auto-spmd with a batch-sharded ``x`` (the
-    Pallas call has no partitioning rule; the train step does this when a
-    mesh is active).
+    (``ops/pallas/quantile.py`` — same values to ≤1 ulp).  'auto' = 'sort':
+    measured on v5e inside the fused bf16 step the kernel is +0.1 ms vs the
+    keys-only unstable sort (tools/ablate_kernels.py; the lane-axis
+    reductions of 96 bisection passes cost about what the sorting network
+    does), so the kernel stays an opt-in experiment.  'sort' is also
+    required under auto-spmd with a batch-sharded ``x`` (no partitioning
+    rule for the Pallas call; the train step forces it when a mesh is
+    active).
     """
     x_moved = jnp.moveaxis(x, axis, -1)
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and jax.default_backend() == "tpu"
-        and x_moved.dtype == jnp.float32 and x_moved.ndim >= 2)
+    use_pallas = impl == "pallas" and x_moved.dtype == jnp.float32 \
+        and x_moved.ndim >= 2
     if use_pallas:
         from meg_decoding_tpu.ops.pallas.quantile import robust_quantiles
 

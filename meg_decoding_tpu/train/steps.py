@@ -40,6 +40,9 @@ class CollateConfig:
     clamp_lim: float = 20.0
     clamp: bool = True
     enabled: bool = True
+    # robust-scale percentile impl: auto = Pallas bisection kernel on TPU
+    # (ops/pallas/quantile.py); forced to 'sort' under a mesh (auto-spmd)
+    quantile_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,7 +128,7 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     # under a mesh the batch is sharded and traced through auto-spmd, where
     # the Pallas quantile kernel has no partitioning rule — use the sort
     # percentiles there (ops/scaling.py robust_scale docstring)
-    qimpl = "sort" if mesh is not None else "auto"
+    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
 
     def train_step(state: TrainState, X, Y, subject_idxs, labels,
                    gallery, gallery_self_sim):
@@ -220,7 +223,7 @@ def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
     jit arguments, not closures (see make_train_step).  ``mesh`` only picks
     the sharding-safe quantile impl for the collate (the loss itself runs
     unsharded on the gathered eval batch)."""
-    qimpl = "sort" if mesh is not None else "auto"
+    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
 
     def eval_step(params, batch_stats, X, Y, subject_idxs, labels,
                   gallery, gallery_self_sim):
