@@ -97,6 +97,7 @@ def run(cfg: Config) -> dict:
         baseline_len_samp=int(rate * float(cfg.preprocs.get("baseline_len_sec", 0))),
         clamp_lim=float(cfg.preprocs.get("clamp_lim", 20)),
         clamp=bool(cfg.preprocs.get("clamp", True)),
+        quantile_impl=str(cfg.get("quantile_impl", "auto")),
     )
 
     gallery = gallery_self_sim = None

@@ -246,6 +246,7 @@ def run(cfg: Config) -> dict:
         # Brennan pre-scales/corrects at build time (brennan2018.py:99-107);
         # Gwilliams collates per batch (gwilliams2022.py:641-662)
         enabled=cfg.dataset == "Gwilliams2022",
+        quantile_impl=str(cfg.get("quantile_impl", "auto")),
     )
     loss_cfg = LossConfig(kind=cfg.select("loss.kind", "clip"),
                           reduction=cfg.get("reduction", "mean"))
