@@ -39,7 +39,8 @@ from meg_decoding_tpu.ops.fir import bandpass_filter
 from meg_decoding_tpu.ops.resample import resample_fft
 
 __all__ = ["GwilliamsPacked", "load_gwilliams_cache", "build_gwilliams_dataset",
-           "preprocess_recordings", "sentence_split", "deep_split"]
+           "preprocess_recordings", "sentence_split", "deep_split",
+           "compute_collate_stats"]
 
 NUM_TASKS = 4
 
@@ -180,16 +181,23 @@ class GwilliamsPacked:
         return self._seg_table
 
 
-@partial(jax.jit, static_argnames=("seq_len",))
+@partial(jax.jit, static_argnames=("seq_len", "y_dtype"))
 def _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
-                  session_subject, task_ids, i_in_task, sess_ids, seq_len):
+                  session_subject, task_ids, i_in_task, sess_ids, seq_len,
+                  y_dtype=None):
     """One fused gather of (X, Y, subject) windows for a batch.
 
     Uses the Pallas scalar-prefetch DMA kernel
     (``ops/pallas/window_gather.py``): XLA lowers both vmapped
     ``dynamic_slice`` and advanced-indexing formulations of this
     data-dependent window gather to general gathers measuring 170-480 ms per
-    64-batch on v5e; the DMA kernel does it in ~1 ms."""
+    64-batch on v5e; the DMA kernel does it in ~1 ms.
+
+    ``y_dtype``: optional dtype the Y windows are cast to INSIDE the gather
+    kernel (VMEM, before the HBM write-back).  bf16 training immediately
+    casts Y in the loss, so gathering it at f32 wastes a full round-trip of
+    the (B, F, L) batch through HBM; X always stays f32 — the collate
+    chain's RobustScaler must see the exact recorded values."""
     from meg_decoding_tpu.ops.pallas.window_gather import window_gather
 
     S, NT, C, T = recordings.shape
@@ -200,9 +208,100 @@ def _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
     X = window_gather(rec_flat, rec_ids, x_onsets, seq_len)     # (B, C, L)
 
     y_onsets = speech_onsets[task_ids, i_in_task]
-    Y = window_gather(y_stream, task_ids, y_onsets, seq_len)    # (B, F, L)
+    Y = window_gather(y_stream, task_ids, y_onsets, seq_len,
+                      out_dtype=y_dtype)                        # (B, F, L)
 
     return X, Y, session_subject[sess_ids]
+
+
+def _stats_sweep(recordings, meg_onsets, seq_len: int,
+                 baseline_len_samp: int, impl: str = "sort",
+                 chunk: int = 512):
+    """Sweep EVERY (session, task, word) window once and return its collate
+    stats: (S, NT, W, C, 2) with [..., 0] = median, [..., 1] = IQR of the
+    baseline-corrected window (per channel), exactly as ``robust_stats``
+    computes them inside the inline collate.
+
+    Pure and jittable: the caller jits it directly (single device) or wraps
+    it in ``shard_map`` over the session axis (each device sweeps its own
+    recordings shard).  The sweep runs as a ``lax.scan`` over window chunks
+    so one executable covers any dataset size; padded grid entries (words
+    beyond ``n_words``, chunk padding) compute harmless garbage that is
+    never gathered at train time (a zero-padded window has IQR 0 → the
+    sklearn fallback scale of 1.0, so not even a NaN exists in the table).
+    """
+    from meg_decoding_tpu.ops.pallas.window_gather import window_gather
+    from meg_decoding_tpu.ops.scaling import baseline_correct, robust_stats
+
+    S, NT, C, T = recordings.shape
+    W = meg_onsets.shape[-1]
+    rec_flat = recordings.reshape(S * NT, C, T)
+    total = S * NT * W
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    onsets = jnp.pad(meg_onsets.reshape(total), (0, pad))
+    rec_ids = jnp.pad(
+        jnp.repeat(jnp.arange(S * NT, dtype=jnp.int32), W), (0, pad))
+
+    def body(_, args):
+        ons, ids = args
+        X = window_gather(rec_flat, ids, ons, seq_len)
+        if baseline_len_samp > 0:
+            X = baseline_correct(X, baseline_len_samp)
+        med, iqr = robust_stats(X, axis=-1, impl=impl)
+        return None, jnp.stack([med, iqr], axis=-1)    # (chunk, C, 2)
+
+    _, stats = jax.lax.scan(
+        body, None,
+        (onsets.reshape(n_chunks, chunk), rec_ids.reshape(n_chunks, chunk)))
+    return stats.reshape(n_chunks * chunk, C, 2)[:total].reshape(
+        S, NT, W, C, 2)
+
+
+def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
+                          impl: str = "sort", chunk: int = 512, mesh=None):
+    """Precompute the epoch-invariant RobustScaler fits for every possible
+    batch window of a packed split → (S, NT, W, C, 2) device array.
+
+    A Gwilliams batch row is a (session, task, word) window whose collate
+    stats (median/IQR of the baseline-corrected window) never change across
+    epochs, yet the inline collate re-sorts (B, C, T) every step — the
+    costliest non-matmul op in the traced step (~5.3 ms at B=256 bf16,
+    tools/trace_step.py).  The reference pays the same redundancy on the
+    host: sklearn ``RobustScaler`` is refit per batch
+    (``gwilliams2022.py:654-662``).  One ~O(dataset · sessions) sweep at
+    trainer start amortizes it away; the train step then gathers (B, C, 2)
+    rows and applies the bit-identical elementwise transform
+    (``ops/scaling.py collate_preprocess_cached``).
+
+    With ``mesh``, ``ds`` must already be session-sharded
+    (``shard_gwilliams_splits``) and the sweep runs inside ``shard_map`` —
+    each device fits its own session shard's windows; the returned table is
+    session-sharded like ``ds.meg_onsets``.
+
+    HBM cost: S·NT·W·C·2 f32 — ~0.6 GB at full Gwilliams scale (54
+    sessions × ~8k words × 208 ch), vs the 9.3 GB recordings it sits next
+    to.  Sweep cost ≈ gathering + sorting the whole grid once (~10 s at
+    full scale) — repaid in the first ~2 epochs at updates=1200.
+    """
+    seq_len = int(ds.seq_len)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.jit(jax.shard_map(
+            partial(_stats_sweep, seq_len=seq_len,
+                    baseline_len_samp=baseline_len_samp, impl=impl,
+                    chunk=chunk),
+            mesh=mesh,
+            in_specs=(P("data", None, None, None), P("data", None, None)),
+            out_specs=P("data", None, None, None, None),
+            check_vma=False,
+        ))
+        return fn(ds.recordings, ds.meg_onsets)
+    fn = jax.jit(partial(_stats_sweep, seq_len=seq_len,
+                         baseline_len_samp=baseline_len_samp, impl=impl,
+                         chunk=chunk))
+    return fn(jnp.asarray(ds.recordings), jnp.asarray(ds.meg_onsets))
 
 
 def pad_sessions(ds: GwilliamsPacked, multiple: int) -> GwilliamsPacked:
@@ -242,7 +341,7 @@ def pad_sessions(ds: GwilliamsPacked, multiple: int) -> GwilliamsPacked:
 
 def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
                        speech_onsets, session_subject, seg_table,
-                       seq_len: int, axis_name: str = "data"):
+                       seq_len: int, axis_name: str = "data", y_dtype=None):
     """Per-device half of the sharded batch gather, for use inside
     ``shard_map``: recordings/meg_onsets are sharded over sessions (axis 0),
     everything else replicated.
@@ -269,7 +368,8 @@ def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
     X = window_gather(rec_flat, rec_ids, x_onsets, seq_len)
 
     y_onsets = speech_onsets[task_ids, i_in_task]
-    Y = window_gather(y_stream, task_ids, y_onsets, seq_len)
+    Y = window_gather(y_stream, task_ids, y_onsets, seq_len,
+                      out_dtype=y_dtype)
 
     subs = session_subject[d * S_local + sess_local]
     return X, Y, subs

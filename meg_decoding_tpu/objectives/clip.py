@@ -37,11 +37,17 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     The epsilon goes INSIDE the sqrt: ``maximum(sqrt(s), EPS)`` has a
     well-defined forward but d√s/ds = ∞ at s = 0, so an exactly-zero row
     (zero-padded sample, dead encoder output) would turn the whole step's
-    gradient into NaN via 0·∞."""
+    gradient into NaN via 0·∞.
+
+    The sum of squares and the division run in f32 regardless of input
+    dtype (a bf16 accumulation over the ~370k elements of a seq2seq row
+    would lose ~1% of the norm); the single rounding back to the input
+    dtype fuses into the divide."""
     axes = tuple(range(1, v.ndim))
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axes, keepdims=True),
+    v32 = v.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(v32 * v32, axis=axes, keepdims=True),
                                 EPS * EPS))
-    return v / norm
+    return (v32 / norm).astype(v.dtype)
 
 
 def _cosine_logits(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -70,7 +70,8 @@ def _kernel(rec_ids_ref, onsets_ref, src_ref, out_ref, scratch, sem, *,
     #   default rounds inputs to bf16, turning this exact selection into a
     #   lossy copy (~1e-2 abs error observed).
     if realign == "roll":
-        out_ref[0] = pltpu.roll(scratch[:], -off, 1)[:, :length]
+        out_ref[0] = pltpu.roll(scratch[:], -off, 1)[:, :length].astype(
+            out_ref.dtype)
     else:
         rows = jax.lax.broadcasted_iota(jnp.int32, (W, length), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (W, length), 1)
@@ -81,14 +82,23 @@ def _kernel(rec_ids_ref, onsets_ref, src_ref, out_ref, scratch, sem, *,
                                  ).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("length", "interpret", "realign"))
+@partial(jax.jit, static_argnames=("length", "interpret", "realign",
+                                   "out_dtype"))
 def window_gather(src: jnp.ndarray, rec_ids: jnp.ndarray, onsets: jnp.ndarray,
                   length: int, interpret: bool | None = None,
-                  realign: str = "roll") -> jnp.ndarray:
+                  realign: str = "roll", out_dtype=None) -> jnp.ndarray:
     """src (R, C, T), rec_ids (B,), onsets (B,) → (B, C, length).
 
     T must satisfy ``T ≥ pad_time_for_gather(max_onset + length, length)``
     (builders pad with zeros); onsets are clamped defensively.
+
+    ``out_dtype`` (optional): cast the gathered window in VMEM before the
+    HBM write-back.  A consumer that immediately casts (e.g. the CLIP loss
+    normalizing the speech embeddings to the bf16 compute dtype) otherwise
+    pays a full f32 round-trip of the batch through HBM — at B=256 seq2seq
+    scale that is ~380 MB/step of avoidable traffic (tools/trace_step.py).
+    The cast is a VPU convert of VMEM-resident data; values are identical to
+    ``gather(...).astype(out_dtype)``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -116,6 +126,6 @@ def window_gather(src: jnp.ndarray, rec_ids: jnp.ndarray, onsets: jnp.ndarray,
     return pl.pallas_call(
         partial(_kernel, realign=realign),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, length), src.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C, length), out_dtype or src.dtype),
         interpret=interpret,
     )(rec_ids.astype(jnp.int32), onsets, src)

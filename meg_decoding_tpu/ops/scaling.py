@@ -25,10 +25,13 @@ import jax.numpy as jnp
 
 __all__ = [
     "robust_scale",
+    "robust_stats",
+    "apply_robust_stats",
     "scale_and_clamp",
     "baseline_correct",
     "epoch_slice",
     "collate_preprocess",
+    "collate_preprocess_cached",
 ]
 
 
@@ -43,14 +46,13 @@ def _percentile_sorted(xs: jnp.ndarray, q: float) -> jnp.ndarray:
     return xs[..., lo] * (1 - frac) + xs[..., hi] * frac
 
 
-def robust_scale(x: jnp.ndarray, axis: int = -1,
-                 impl: str = "auto") -> jnp.ndarray:
-    """(x − median) / IQR along ``axis`` (RobustScaler semantics).
-
-    Near-zero IQR falls back to a scale of 1.0 using sklearn's own
-    threshold (``_handle_zeros_in_scale``: ``scale < 10·eps``) — an exact
-    ``== 0`` test would divide a quantization-noise channel by a ~1e-7 IQR
-    and blow it up to the clamp limit instead of leaving it centered.
+def robust_stats(x: jnp.ndarray, axis: int = -1,
+                 impl: str = "auto") -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-slice RobustScaler fit along ``axis``: returns ``(median, iqr)``
+    with the near-zero-IQR fallback already applied (sklearn
+    ``_handle_zeros_in_scale``: ``scale < 10·eps`` → 1.0 — an exact ``== 0``
+    test would divide a quantization-noise channel by a ~1e-7 IQR and blow
+    it up to the clamp limit instead of leaving it centered).
 
     ``impl``: 'sort' = lane-axis sort + interpolated percentiles;
     'pallas' = the bisection order-statistic kernel
@@ -87,6 +89,28 @@ def robust_scale(x: jnp.ndarray, axis: int = -1,
         q75 = _percentile_sorted(xs, 75.0)
     iqr = q75 - q25
     iqr = jnp.where(iqr < 10 * jnp.finfo(x.dtype).eps, 1.0, iqr)
+    return med, iqr
+
+
+def apply_robust_stats(x: jnp.ndarray, med: jnp.ndarray, iqr: jnp.ndarray,
+                       axis: int = -1) -> jnp.ndarray:
+    """``(x − med) / iqr`` broadcast along ``axis`` — the elementwise half of
+    ``robust_scale``, usable with PRE-COMPUTED stats (``robust_stats``).  The
+    arithmetic (subtract, then true divide) is kept identical to
+    ``robust_scale`` so cached-stats scaling is bit-exact with the inline
+    path."""
+    x_moved = jnp.moveaxis(x, axis, -1)
+    scaled = (x_moved - med[..., None]) / iqr[..., None]
+    return jnp.moveaxis(scaled, -1, axis)
+
+
+def robust_scale(x: jnp.ndarray, axis: int = -1,
+                 impl: str = "auto") -> jnp.ndarray:
+    """(x − median) / IQR along ``axis`` (RobustScaler semantics) — fit
+    (``robust_stats``) + transform (``apply_robust_stats``) fused in one
+    call; see ``robust_stats`` for the ``impl`` choices."""
+    med, iqr = robust_stats(x, axis=axis, impl=impl)
+    x_moved = jnp.moveaxis(x, axis, -1)
     scaled = (x_moved - med[..., None]) / iqr[..., None]
     return jnp.moveaxis(scaled, -1, axis)
 
@@ -154,3 +178,32 @@ def collate_preprocess(
     if baseline_len_samp > 0:
         X = baseline_correct(X, baseline_len_samp)
     return scale_and_clamp(X, clamp_lim, clamp, impl=quantile_impl)
+
+
+def collate_preprocess_cached(
+    X: jnp.ndarray, med: jnp.ndarray, iqr: jnp.ndarray,
+    baseline_len_samp: int, clamp_lim: float, clamp: bool = True
+) -> jnp.ndarray:
+    """``collate_preprocess`` with PRE-COMPUTED robust-scale stats.
+
+    The Gwilliams batch windows are epoch-invariant — a window is fully
+    determined by (session, task, word index), so its RobustScaler fit
+    (median/IQR of the baseline-corrected window, per channel) never
+    changes across epochs.  Caching the fit (``compute_collate_stats`` in
+    ``data/gwilliams.py``) removes the per-step (B, C, T) sort — the single
+    most expensive non-matmul op in the traced bf16 step (~5.3 ms at B=256,
+    tools/trace_step.py) — leaving only the elementwise transform.
+
+    Bit-exactness: ``med``/``iqr`` were produced by ``robust_stats`` on the
+    identical baseline-corrected window bits, and the per-step baseline
+    subtraction + ``(X − med) / iqr`` arithmetic matches ``robust_scale``
+    op for op, so the output is bitwise identical to the inline path.
+
+    X: (B, C, T); med/iqr: (B, C).
+    """
+    if baseline_len_samp > 0:
+        X = baseline_correct(X, baseline_len_samp)
+    out = apply_robust_stats(X, med, iqr, axis=-1)
+    if clamp:
+        out = jnp.clip(out, -clamp_lim, clamp_lim)
+    return out

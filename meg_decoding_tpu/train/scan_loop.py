@@ -121,7 +121,18 @@ def _shard_gwilliams(ds: GwilliamsPacked, mesh):
     return shard_gwilliams_splits(mesh, ds)[0]
 
 
-def _make_sharded_gather(mesh, seq_len: int):
+def _loss_y_dtype(model, loss_cfg: LossConfig):
+    """Gather-time dtype for the Y (speech-embedding) windows: the CLIP loss
+    casts Y to the model's compute dtype immediately, so in bf16 mode the
+    gather kernel casts in VMEM and halves Y's HBM write+read traffic
+    (~380 MB/step at B=256 seq2seq scale — tools/trace_step.py).  f32 mode
+    and non-CLIP losses keep the exact f32 windows (None = source dtype)."""
+    if loss_cfg.kind == "clip" and getattr(model, "dtype", None) == jnp.bfloat16:
+        return jnp.bfloat16
+    return None
+
+
+def _make_sharded_gather(mesh, seq_len: int, y_dtype=None):
     """shard_map wrapper around the per-device window gather: idx and the
     returned batch are sharded along 'data'; each device samples sessions
     from its own recordings shard (see ``local_shard_gather``)."""
@@ -130,7 +141,8 @@ def _make_sharded_gather(mesh, seq_len: int):
     def gather(idx, key, seg_table, recordings, meg_onsets, y_stream,
                speech_onsets, session_subject):
         fn = jax.shard_map(
-            partial(local_shard_gather, seq_len=seq_len, axis_name="data"),
+            partial(local_shard_gather, seq_len=seq_len, axis_name="data",
+                    y_dtype=y_dtype),
             mesh=mesh,
             in_specs=(P("data"), P(), P("data", None, None, None),
                       P("data", None, None), P(), P(), P(), P()),
@@ -163,10 +175,11 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
     step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                            donate=False, mesh=mesh)
     seq_len = int(ds.seq_len)
+    y_dtype = _loss_y_dtype(model, loss_cfg)
 
     if mesh is not None:
         ds = _shard_gwilliams(ds, mesh)
-        sharded_gather = _make_sharded_gather(mesh, seq_len)
+        sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype)
         seg_table = jax.device_put(
             jnp.asarray(ds.segment_table()),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
@@ -201,7 +214,7 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
         sess = jax.random.randint(key, (idx.shape[0],), 0, n_sessions)
         X, Y, subs = _gather_batch(
             recordings, y_stream, meg_onsets, speech_onsets, session_subject,
-            seg_rows[:, 0], seg_rows[:, 1], sess, seq_len,
+            seg_rows[:, 0], seg_rows[:, 1], sess, seq_len, y_dtype=y_dtype,
         )
         return step(state, X, Y, subs)
 
@@ -300,6 +313,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
     step_jit = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                donate=False, mesh=mesh)
     seq_len = int(ds.seq_len)
+    y_dtype = _loss_y_dtype(model, loss_cfg)
 
     if mesh is not None:
         assert batch_size % mesh.shape["data"] == 0, (batch_size, mesh.shape)
@@ -308,7 +322,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
         seg = jax.device_put(
             jnp.asarray(ds.segment_table()),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-        sharded_gather = _make_sharded_gather(mesh, seq_len)
+        sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype)
 
         def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
                    speech_onsets, session_subject):
@@ -328,7 +342,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
         sess = jax.random.randint(key, (i.shape[0],), 0, n_sessions)
         return _gather_batch(
             recordings, y_stream, meg_onsets, speech_onsets, session_subject,
-            rows[:, 0], rows[:, 1], sess, seq_len,
+            rows[:, 0], rows[:, 1], sess, seq_len, y_dtype=y_dtype,
         )
 
     return _build_epoch(step_jit, gather, updates, batch_size, int(len(ds)),

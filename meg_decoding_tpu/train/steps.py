@@ -40,8 +40,10 @@ class CollateConfig:
     clamp_lim: float = 20.0
     clamp: bool = True
     enabled: bool = True
-    # robust-scale percentile impl: auto = Pallas bisection kernel on TPU
-    # (ops/pallas/quantile.py); forced to 'sort' under a mesh (auto-spmd)
+    # robust-scale percentile impl: auto = the measured-fastest backend
+    # (keys-only sort — see ops/scaling.py robust_scale; 'pallas' is the
+    # oracle-tested bisection-kernel experiment); forced to 'sort' under a
+    # mesh (no partitioning rule for the Pallas call)
     quantile_impl: str = "auto"
 
 

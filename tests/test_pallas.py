@@ -47,6 +47,28 @@ class TestWindowGather:
                                        jnp.array([10**6]), 64, interpret=True))
         assert np.all(np.isfinite(out))
 
+    def test_out_dtype_casts_in_kernel(self):
+        """out_dtype=bf16 must equal gather-then-astype bitwise (the cast
+        moves into VMEM, it must not change values)."""
+        from meg_decoding_tpu.ops.pallas.window_gather import (
+            pad_time_for_gather,
+            window_gather,
+        )
+
+        rng = np.random.RandomState(2)
+        T = pad_time_for_gather(700, 96)
+        src = rng.randn(3, 16, T).astype(np.float32)
+        rec_ids = jnp.array([2, 0, 1, 2])
+        onsets = jnp.array([3, 130, 0, 411])
+        f32 = window_gather(jnp.array(src), rec_ids, onsets, 96,
+                            interpret=True)
+        b16 = window_gather(jnp.array(src), rec_ids, onsets, 96,
+                            interpret=True, out_dtype=jnp.bfloat16)
+        assert b16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(b16, dtype=np.float32),
+            np.asarray(f32.astype(jnp.bfloat16), dtype=np.float32))
+
 
 class TestRobustQuantiles:
     """Bisection order-statistic kernel (ops/pallas/quantile.py) vs the

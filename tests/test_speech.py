@@ -326,3 +326,62 @@ class TestFusedGatherPath:
                         jax.tree_util.tree_leaves(manual_state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+    def test_bf16_y_gather_engages_and_matches(self, gw):
+        """In bf16+CLIP mode the fused step gathers Y directly in bf16
+        (VMEM cast — halves Y's HBM traffic).  The kernel-cast Y must equal
+        gather-then-astype bitwise, and the bf16 fused step must train."""
+        import optax
+
+        from meg_decoding_tpu.data.gwilliams import (
+            _gather_batch,
+            build_gwilliams_dataset,
+        )
+        from meg_decoding_tpu.data.layout import (
+            normalize_locations,
+            synthetic_cap_locations,
+        )
+        from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+        from meg_decoding_tpu.train.scan_loop import (
+            _loss_y_dtype,
+            make_fused_speech_step,
+        )
+        from meg_decoding_tpu.train.state import create_train_state
+        from meg_decoding_tpu.train.steps import CollateConfig, LossConfig
+
+        cfg, raw = gw
+        cfg.seq2seq = True
+        ds = build_gwilliams_dataset(cfg, *raw, split_mode="shallow")
+        seg = jnp.asarray(ds.segment_table())
+        idx = jnp.arange(8)
+        sess = jax.random.randint(jax.random.PRNGKey(5), (8,), 0,
+                                  ds.recordings.shape[0])
+        args = (ds.recordings, ds.y_stream, ds.meg_onsets, ds.speech_onsets,
+                ds.session_subject, seg[idx][:, 0], seg[idx][:, 1], sess,
+                ds.seq_len)
+        _, Y32, _ = _gather_batch(*args)
+        X16, Y16, _ = _gather_batch(*args, y_dtype=jnp.bfloat16)
+        assert Y16.dtype == jnp.bfloat16 and X16.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(Y16, dtype=np.float32),
+            np.asarray(Y32.astype(jnp.bfloat16), dtype=np.float32))
+
+        loc = normalize_locations(synthetic_cap_locations(12))
+        model = BrainEncoder(loc=loc, num_subjects=ds.num_subjects, D1=8,
+                             D2=12, F=16, K=3, seq2seq=True,
+                             dtype=jnp.bfloat16)
+        lc = LossConfig(kind="clip")
+        assert _loss_y_dtype(model, lc) == jnp.bfloat16
+        assert _loss_y_dtype(model, LossConfig(kind="mse")) is None
+        opt = optax.adam(1e-3)
+        example = (jnp.zeros((8,) + X16.shape[1:]),
+                   jnp.zeros((8,) + Y32.shape[1:]), jnp.zeros((8,), jnp.int32))
+        state = create_train_state(model, opt, example, jax.random.PRNGKey(0))
+        fused = make_fused_speech_step(
+            model, opt, lc, CollateConfig(baseline_len_samp=60,
+                                          clamp_lim=20.0), ds)
+        losses = []
+        for i in range(3):
+            state, m = fused(state, idx, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        assert np.all(np.isfinite(losses))

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--windows", type=int, default=6)
     ap.add_argument("--scale", choices=["full", "small"], default="small")
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--bn", default="pallas,xla",
                     help="comma list of bn impls (pallas|xla|mxu)")
     ap.add_argument("--quant", default="pallas,sort",
@@ -55,7 +56,7 @@ def main():
     from meg_decoding_tpu.train.state import create_train_state
     from meg_decoding_tpu.train.steps import CollateConfig, LossConfig
 
-    B, C, F = 64, 208, 1024
+    B, C, F = args.batch, 208, 1024
     D1, D2, K = 270, 320, 32
     if args.scale == "full":
         S, n_sessions, rec_sec, words = 27, 2, 392.0, 2000
