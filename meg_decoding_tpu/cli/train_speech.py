@@ -292,8 +292,9 @@ def run(cfg: Config) -> dict:
 
         # under a mesh train_set.ds is already session-sharded (above), so
         # make_fused_speech_step reuses it as-is (fused.ds is train_set.ds)
-        fused = make_fused_speech_step(model, optimizer, loss_cfg, collate_cfg,
-                                       train_set.ds, mesh=mesh)
+        fused = make_fused_speech_step(
+            model, optimizer, loss_cfg, collate_cfg, train_set.ds, mesh=mesh,
+            cache_collate_stats=bool(cfg.get("cache_collate_stats", False)))
         fused_engaged = True
         base_key = jax.random.PRNGKey(seed + 17)
         call_counter = {"n": 0}
@@ -346,7 +347,8 @@ def run(cfg: Config) -> dict:
         bs = max((int(cfg.batch_size) // n_data) * n_data, n_data)
         scan_epoch = make_gwilliams_scan_epoch(
             model, optimizer, loss_cfg, collate_cfg, train_set.ds,
-            updates=updates, batch_size=bs, mesh=mesh)
+            updates=updates, batch_size=bs, mesh=mesh,
+            cache_collate_stats=bool(cfg.get("cache_collate_stats", False)))
         state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
                                eval_step, logger, ckpt, seed=seed,
                                start_epoch=start_epoch)

@@ -271,7 +271,7 @@ def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
     host: sklearn ``RobustScaler`` is refit per batch
     (``gwilliams2022.py:654-662``).  One ~O(dataset · sessions) sweep at
     trainer start amortizes it away; the train step then gathers (B, C, 2)
-    rows and applies the bit-identical elementwise transform
+    rows and applies the same elementwise transform (ulp-exact)
     (``ops/scaling.py collate_preprocess_cached``).
 
     With ``mesh``, ``ds`` must already be session-sharded
@@ -341,10 +341,16 @@ def pad_sessions(ds: GwilliamsPacked, multiple: int) -> GwilliamsPacked:
 
 def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
                        speech_onsets, session_subject, seg_table,
-                       seq_len: int, axis_name: str = "data", y_dtype=None):
+                       seq_len: int, axis_name: str = "data", y_dtype=None,
+                       stats_local=None):
     """Per-device half of the sharded batch gather, for use inside
     ``shard_map``: recordings/meg_onsets are sharded over sessions (axis 0),
     everything else replicated.
+
+    ``stats_local`` (optional, (S_local, NT, W, C, 2)): this device's shard
+    of the precomputed collate-stats table (``compute_collate_stats`` with a
+    mesh); when given, the matching (B_local, C, 2) stats rows are returned
+    as a fourth output for ``collate_preprocess_cached``.
 
     Each device pairs its ``B_local`` segments with sessions drawn uniformly
     from ITS OWN session shard (key folded with the device index).  With
@@ -372,6 +378,8 @@ def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
                       out_dtype=y_dtype)
 
     subs = session_subject[d * S_local + sess_local]
+    if stats_local is not None:
+        return X, Y, subs, stats_local[sess_local, task_ids, i_in_task]
     return X, Y, subs
 
 

@@ -194,10 +194,14 @@ def collate_preprocess_cached(
     most expensive non-matmul op in the traced bf16 step (~5.3 ms at B=256,
     tools/trace_step.py) — leaving only the elementwise transform.
 
-    Bit-exactness: ``med``/``iqr`` were produced by ``robust_stats`` on the
+    Exactness: ``med``/``iqr`` are produced by ``robust_stats`` on the
     identical baseline-corrected window bits, and the per-step baseline
     subtraction + ``(X − med) / iqr`` arithmetic matches ``robust_scale``
-    op for op, so the output is bitwise identical to the inline path.
+    op for op.  The only deviation from the inline path is compiler fusion:
+    XLA may contract the percentile interpolation's multiply-adds into FMAs
+    differently in the sweep program than in the step program, shifting the
+    IQR by ≤2 ulp (~1e-7 relative on the scaled output) — semantically the
+    same sklearn fit.
 
     X: (B, C, T); med/iqr: (B, C).
     """

@@ -132,33 +132,49 @@ def _loss_y_dtype(model, loss_cfg: LossConfig):
     return None
 
 
-def _make_sharded_gather(mesh, seq_len: int, y_dtype=None):
+def _make_sharded_gather(mesh, seq_len: int, y_dtype=None,
+                         with_stats: bool = False):
     """shard_map wrapper around the per-device window gather: idx and the
     returned batch are sharded along 'data'; each device samples sessions
-    from its own recordings shard (see ``local_shard_gather``)."""
+    from its own recordings shard (see ``local_shard_gather``).
+
+    ``with_stats``: the gather additionally takes the session-sharded
+    collate-stats table and returns the batch's (B, C, 2) stats rows
+    (sharded along 'data') as a fourth output."""
     from jax.sharding import PartitionSpec as P
 
+    in_specs = (P("data"), P(), P("data", None, None, None),
+                P("data", None, None), P(), P(), P(), P())
+    out_specs = (P("data", None, None), P("data", None, None), P("data"))
+    if with_stats:
+        in_specs += (P("data", None, None, None, None),)
+        out_specs += (P("data", None, None),)
+
+    def local(idx, key, rec, meg_on, y_str, sp_on, sess_sub, seg,
+              stats=None):
+        return local_shard_gather(idx, key, rec, meg_on, y_str, sp_on,
+                                  sess_sub, seg, seq_len=seq_len,
+                                  axis_name="data", y_dtype=y_dtype,
+                                  stats_local=stats)
+
     def gather(idx, key, seg_table, recordings, meg_onsets, y_stream,
-               speech_onsets, session_subject):
+               speech_onsets, session_subject, collate_stats=None):
         fn = jax.shard_map(
-            partial(local_shard_gather, seq_len=seq_len, axis_name="data",
-                    y_dtype=y_dtype),
-            mesh=mesh,
-            in_specs=(P("data"), P(), P("data", None, None, None),
-                      P("data", None, None), P(), P(), P(), P()),
-            out_specs=(P("data", None, None), P("data", None, None),
-                       P("data")),
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         )
-        return fn(idx, key, recordings, meg_onsets, y_stream, speech_onsets,
-                  session_subject, seg_table)
+        args = (idx, key, recordings, meg_onsets, y_stream, speech_onsets,
+                session_subject, seg_table)
+        if with_stats:
+            args += (collate_stats,)
+        return fn(*args)
 
     return gather
 
 
 def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
                            collate_cfg: CollateConfig, ds: GwilliamsPacked,
-                           mesh=None):
+                           mesh=None, cache_collate_stats: bool = False):
     """Single-dispatch Gwilliams step: the window gather (Pallas DMA kernel)
     and the train step compile into ONE XLA program — saves the per-call
     dispatch round-trip between the two (~2.4 ms on this rig).
@@ -168,28 +184,47 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
     step runs data-parallel with the explicit sharded CLIP loss — the
     multi-chip flagship path (VERDICT round-1 item 2).
 
+    ``cache_collate_stats``: precompute every window's RobustScaler fit at
+    build time (``compute_collate_stats`` — ~0.6 GB HBM, one sweep) so each
+    step gathers (B, C, 2) stats instead of sorting (B, C, T) — same sklearn
+    fit to ulp-level (ops/scaling.py collate_preprocess_cached),
+    ~5.3 ms/step at B=256 bf16.  Under a mesh the table is session-sharded
+    alongside the recordings.
+
     Returns ``fused(state, idx (B,), key) → (state, metrics)``.
     """
+    from meg_decoding_tpu.data.gwilliams import compute_collate_stats
     from meg_decoding_tpu.train.steps import make_train_step
 
     step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                            donate=False, mesh=mesh)
     seq_len = int(ds.seq_len)
     y_dtype = _loss_y_dtype(model, loss_cfg)
+    use_stats = bool(cache_collate_stats) and collate_cfg.enabled
+    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
 
     if mesh is not None:
         ds = _shard_gwilliams(ds, mesh)
-        sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype)
+        stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
+                                       impl=qimpl, mesh=mesh)
+                 if use_stats else None)
+        sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype,
+                                              with_stats=use_stats)
         seg_table = jax.device_put(
             jnp.asarray(ds.segment_table()),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
 
         @partial(jax.jit, donate_argnums=(0,))
         def _fused_sharded(state, idx, key, seg_table, recordings, y_stream,
-                           meg_onsets, speech_onsets, session_subject):
-            X, Y, subs = sharded_gather(idx, key, seg_table, recordings,
-                                        meg_onsets, y_stream, speech_onsets,
-                                        session_subject)
+                           meg_onsets, speech_onsets, session_subject,
+                           collate_stats):
+            out = sharded_gather(idx, key, seg_table, recordings,
+                                 meg_onsets, y_stream, speech_onsets,
+                                 session_subject, collate_stats)
+            if use_stats:
+                X, Y, subs, srows = out
+                return step(state, X, Y, subs, collate_stats=srows)
+            X, Y, subs = out
             return step(state, X, Y, subs)
 
         def fused(state, idx, key):
@@ -199,31 +234,39 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
                 f"{mesh.shape['data']}")
             return _fused_sharded(state, idx, key, seg_table, ds.recordings,
                                   ds.y_stream, ds.meg_onsets,
-                                  ds.speech_onsets, ds.session_subject)
+                                  ds.speech_onsets, ds.session_subject,
+                                  stats)
 
         fused.ds = ds  # expose the sharded dataset (tests / eval reuse)
+        fused.collate_stats = stats
         return fused
 
     n_sessions = int(ds.recordings.shape[0])
     seg_table = jnp.asarray(ds.segment_table())
+    stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
+                                   impl=qimpl)
+             if use_stats else None)
 
     @partial(jax.jit, donate_argnums=(0,))
     def _fused(state, idx, key, seg_table, recordings, y_stream, meg_onsets,
-               speech_onsets, session_subject):
+               speech_onsets, session_subject, collate_stats):
         seg_rows = seg_table[idx]  # indexed inside the single program
         sess = jax.random.randint(key, (idx.shape[0],), 0, n_sessions)
         X, Y, subs = _gather_batch(
             recordings, y_stream, meg_onsets, speech_onsets, session_subject,
             seg_rows[:, 0], seg_rows[:, 1], sess, seq_len, y_dtype=y_dtype,
         )
-        return step(state, X, Y, subs)
+        srows = (None if collate_stats is None
+                 else collate_stats[sess, seg_rows[:, 0], seg_rows[:, 1]])
+        return step(state, X, Y, subs, collate_stats=srows)
 
     def fused(state, idx, key):
         """idx: (B,) global segment ids (host or device ints)."""
         return _fused(state, jnp.asarray(idx), key, seg_table, ds.recordings,
                       ds.y_stream, ds.meg_onsets, ds.speech_onsets,
-                      ds.session_subject)
+                      ds.session_subject, stats)
 
+    fused.collate_stats = stats
     return fused
 
 
@@ -301,40 +344,91 @@ def make_scan_epoch(model, optimizer, loss_cfg: LossConfig,
 
 def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
                               collate_cfg: CollateConfig, ds: GwilliamsPacked,
-                              updates: int, batch_size: int, mesh=None):
+                              updates: int, batch_size: int, mesh=None,
+                              cache_collate_stats: bool = False):
     """Scan-epoch over the packed Gwilliams dataset: the random
     subject-session pairing and window gather run inside the scan.
 
     With ``mesh``, every scan step's gather runs in ``shard_map`` over the
     session-sharded recordings and the train step is data-parallel — one
-    device call per epoch on N chips."""
+    device call per epoch on N chips.
+
+    ``cache_collate_stats``: as in ``make_fused_speech_step`` — precomputed
+    per-window RobustScaler fits replace the per-step sort (ulp-exact)."""
+    from meg_decoding_tpu.data.gwilliams import compute_collate_stats
     from meg_decoding_tpu.train.steps import make_train_step
 
     step_jit = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                donate=False, mesh=mesh)
     seq_len = int(ds.seq_len)
     y_dtype = _loss_y_dtype(model, loss_cfg)
+    use_stats = bool(cache_collate_stats) and collate_cfg.enabled
+    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
+    if use_stats:
+        # the scan body's step takes the gathered (B, C, 2) stats rows as a
+        # 4th batch element, routed to the collate_stats kwarg
+        step_fn = lambda state, X, Y, subs, srows: step_jit(
+            state, X, Y, subs, collate_stats=srows)
+    else:
+        step_fn = step_jit
 
     if mesh is not None:
         assert batch_size % mesh.shape["data"] == 0, (batch_size, mesh.shape)
         n_segments = int(len(ds))
         ds = _shard_gwilliams(ds, mesh)
+        stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
+                                       impl=qimpl, mesh=mesh)
+                 if use_stats else None)
         seg = jax.device_put(
             jnp.asarray(ds.segment_table()),
             jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-        sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype)
+        sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype,
+                                              with_stats=use_stats)
+
+        if use_stats:
+            def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
+                       speech_onsets, session_subject, collate_stats):
+                return sharded_gather(i, key, seg_table, recordings,
+                                      meg_onsets, y_stream, speech_onsets,
+                                      session_subject, collate_stats)
+
+            return _build_epoch(step_fn, gather, updates, batch_size,
+                                n_segments,
+                                (seg, ds.recordings, ds.y_stream,
+                                 ds.meg_onsets, ds.speech_onsets,
+                                 ds.session_subject, stats))
 
         def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
                    speech_onsets, session_subject):
             return sharded_gather(i, key, seg_table, recordings, meg_onsets,
                                   y_stream, speech_onsets, session_subject)
 
-        return _build_epoch(step_jit, gather, updates, batch_size, n_segments,
+        return _build_epoch(step_fn, gather, updates, batch_size, n_segments,
                             (seg, ds.recordings, ds.y_stream, ds.meg_onsets,
                              ds.speech_onsets, ds.session_subject))
 
     seg = jnp.asarray(ds.segment_table())  # (N, 2): task, i_in_task
     n_sessions = int(ds.recordings.shape[0])
+    stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
+                                   impl=qimpl)
+             if use_stats else None)
+
+    if use_stats:
+        def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
+                   speech_onsets, session_subject, collate_stats):
+            rows = seg_table[i]
+            sess = jax.random.randint(key, (i.shape[0],), 0, n_sessions)
+            X, Y, subs = _gather_batch(
+                recordings, y_stream, meg_onsets, speech_onsets,
+                session_subject, rows[:, 0], rows[:, 1], sess, seq_len,
+                y_dtype=y_dtype,
+            )
+            return X, Y, subs, collate_stats[sess, rows[:, 0], rows[:, 1]]
+
+        return _build_epoch(step_fn, gather, updates, batch_size,
+                            int(len(ds)),
+                            (seg, ds.recordings, ds.y_stream, ds.meg_onsets,
+                             ds.speech_onsets, ds.session_subject, stats))
 
     def gather(i, key, seg_table, recordings, y_stream, meg_onsets,
                speech_onsets, session_subject):
@@ -345,6 +439,6 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
             rows[:, 0], rows[:, 1], sess, seq_len, y_dtype=y_dtype,
         )
 
-    return _build_epoch(step_jit, gather, updates, batch_size, int(len(ds)),
+    return _build_epoch(step_fn, gather, updates, batch_size, int(len(ds)),
                         (seg, ds.recordings, ds.y_stream, ds.meg_onsets,
                          ds.speech_onsets, ds.session_subject))

@@ -28,7 +28,10 @@ from meg_decoding_tpu.objectives.losses import (
     same_label_loss,
 )
 from meg_decoding_tpu.objectives.retrieval import retrieval_accuracy
-from meg_decoding_tpu.ops.scaling import collate_preprocess
+from meg_decoding_tpu.ops.scaling import (
+    collate_preprocess,
+    collate_preprocess_cached,
+)
 from meg_decoding_tpu.train.state import TrainState
 
 __all__ = ["LossConfig", "CollateConfig", "make_train_step", "make_eval_step"]
@@ -114,8 +117,12 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     mesh=None):
     """Build the jitted train step.
 
-    Signature: ``step(state, X, Y, subject_idxs, labels=None) →
-    (state, metrics)`` with metrics {loss, top1, top10, temp, lr-proxy step}.
+    Signature: ``step(state, X, Y, subject_idxs, labels=None,
+    collate_stats=None) → (state, metrics)`` with metrics {loss, top1,
+    top10, temp, lr-proxy step}.  ``collate_stats`` (optional, (B, C, 2)):
+    precomputed RobustScaler fits for this batch's windows — the collate
+    then applies them instead of re-sorting (ulp-exact; see
+    ``compute_collate_stats``).
 
     ``mesh`` (optional): when training data-parallel, routes the CLIP loss
     through the explicit sharded-collective path (``clip_loss_sharded``) —
@@ -133,13 +140,23 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
 
     def train_step(state: TrainState, X, Y, subject_idxs, labels,
-                   gallery, gallery_self_sim):
+                   gallery, gallery_self_sim, collate_stats):
         key, spatial_key, dropout_key = jax.random.split(state.key, 3)
         if collate_cfg.enabled:
-            X = collate_preprocess(
-                X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
-                collate_cfg.clamp, quantile_impl=qimpl,
-            )
+            if collate_stats is not None:
+                # precomputed (B, C, 2) RobustScaler fits for these exact
+                # windows (data/gwilliams.py compute_collate_stats): skips
+                # the per-step (B, C, T) sort, ulp-exact output
+                X = collate_preprocess_cached(
+                    X, collate_stats[..., 0], collate_stats[..., 1],
+                    collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
+                    collate_cfg.clamp,
+                )
+            else:
+                X = collate_preprocess(
+                    X, collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
+                    collate_cfg.clamp, quantile_impl=qimpl,
+                )
 
         def loss_fn(params):
             variables = {"params": params["model"]}
@@ -210,9 +227,9 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
 
     jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
-    def step(state, X, Y, subject_idxs, labels=None):
+    def step(state, X, Y, subject_idxs, labels=None, collate_stats=None):
         return jitted(state, X, Y, subject_idxs, labels, gallery,
-                      gallery_self_sim)
+                      gallery_self_sim, collate_stats)
 
     return step
 

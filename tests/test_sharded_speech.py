@@ -313,3 +313,56 @@ class TestSharedSplitBuffers:
         best = run(cfg)
         assert np.isfinite(best.get("train_loss", np.nan))
         assert "test_top10" in best
+
+
+class TestShardedCollateStatsCache:
+    def test_sharded_cached_matches_sharded_inline(self, packed, mesh):
+        """Under the mesh, the fused step with cache_collate_stats=True must
+        track the inline-sort sharded fused step (same keys; SGD so ulp-level
+        IQR-lerp differences stay ulp-level in the params)."""
+        _, train, _ = packed
+        model, opt, state_a = _setup(train)
+        _, _, state_b = _setup(train)
+        lc = LossConfig(kind="clip")
+        cc = CollateConfig(baseline_len_samp=8, clamp_lim=20.0)
+
+        inline = make_fused_speech_step(model, opt, lc, cc, train, mesh=mesh)
+        cached = make_fused_speech_step(model, opt, lc, cc, train, mesh=mesh,
+                                        cache_collate_stats=True)
+        # the stats table is session-sharded like the recordings
+        stats = cached.collate_stats
+        assert stats is not None
+        S_pad = cached.ds.recordings.shape[0]
+        shard_shapes = {s.data.shape for s in stats.addressable_shards}
+        assert shard_shapes == {(S_pad // N_DEV,) + stats.shape[1:]}
+
+        state_a = jax.device_put(state_a, replicated(mesh))
+        state_b = jax.device_put(state_b, replicated(mesh))
+        for i in range(2):
+            idx = np.arange(B) + i
+            key = jax.random.PRNGKey(40 + i)
+            state_a, ma = inline(state_a, idx, key)
+            state_b, mb = cached(state_b, idx, key)
+            np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                                       rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                        jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_scan_epoch_sharded_cached_runs(self, packed, mesh):
+        """Sharded scan-epoch with the stats cache: one epoch trains with
+        finite metrics and sharded stats in the data_args."""
+        from meg_decoding_tpu.train.scan_loop import make_gwilliams_scan_epoch
+
+        _, train, _ = packed
+        model, opt, state = _setup(train)
+        lc = LossConfig(kind="clip")
+        cc = CollateConfig(baseline_len_samp=8, clamp_lim=20.0)
+        epoch = make_gwilliams_scan_epoch(model, opt, lc, cc, train,
+                                          updates=3, batch_size=B, mesh=mesh,
+                                          cache_collate_stats=True)
+        state = jax.device_put(state, replicated(mesh))
+        state, m = epoch(state, jax.random.PRNGKey(7))
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["skipped"]) == 0.0

@@ -385,3 +385,138 @@ class TestFusedGatherPath:
             state, m = fused(state, idx, jax.random.PRNGKey(i))
             losses.append(float(m["loss"]))
         assert np.all(np.isfinite(losses))
+
+
+class TestCachedCollateStats:
+    """Epoch-invariant RobustScaler-fit cache (compute_collate_stats +
+    collate_preprocess_cached): the cached path computes the same sklearn
+    fit as the inline per-step sort — identical up to XLA's per-program FMA
+    contraction of the percentile lerp (≤2 ulp on the IQR)."""
+
+    def _setup(self, gw):
+        import optax
+
+        from meg_decoding_tpu.data.gwilliams import build_gwilliams_dataset
+        from meg_decoding_tpu.data.layout import (
+            normalize_locations,
+            synthetic_cap_locations,
+        )
+        from meg_decoding_tpu.models.brain_encoder import BrainEncoder
+        from meg_decoding_tpu.train.steps import CollateConfig, LossConfig
+
+        cfg, raw = gw
+        cfg.seq2seq = True
+        ds = build_gwilliams_dataset(cfg, *raw, split_mode="shallow")
+        loc = normalize_locations(synthetic_cap_locations(12))
+        model = BrainEncoder(loc=loc, num_subjects=ds.num_subjects, D1=8,
+                             D2=12, F=16, K=3, seq2seq=True)
+        # SGD, not Adam: updates are LINEAR in the gradients, so the <=2 ulp
+        # IQR difference between the sweep and inline programs stays at ulp
+        # scale in the params (Adam's g/sqrt(v) normalization would amplify
+        # a near-zero gradient's ulp flip into a full +-lr step)
+        return (ds, model, optax.sgd(1e-2), LossConfig(kind="clip"),
+                CollateConfig(baseline_len_samp=60, clamp_lim=20.0))
+
+    def test_stats_table_matches_manual_fit(self, gw):
+        """Every (session, task, word) row of the swept table equals
+        robust_stats of the manually-sliced baseline-corrected window."""
+        from meg_decoding_tpu.data.gwilliams import (
+            build_gwilliams_dataset,
+            compute_collate_stats,
+        )
+        from meg_decoding_tpu.ops.scaling import baseline_correct, robust_stats
+
+        cfg, raw = gw
+        ds = build_gwilliams_dataset(cfg, *raw, split_mode="shallow")
+        stats = np.asarray(compute_collate_stats(ds, baseline_len_samp=60,
+                                                 chunk=64))
+        S, NT, W = ds.meg_onsets.shape
+        L = int(ds.seq_len)
+        rec = np.asarray(ds.recordings)
+        T = rec.shape[-1]
+        ons = np.asarray(ds.meg_onsets)
+        rng = np.random.RandomState(0)
+        for _ in range(12):  # random spot checks across the grid
+            s, t, w = rng.randint(S), rng.randint(NT), rng.randint(W)
+            o = min(max(int(ons[s, t, w]), 0), T - L)
+            win = jnp.asarray(rec[s, t, :, o:o + L][None])
+            med, iqr = robust_stats(baseline_correct(win, 60), axis=-1,
+                                    impl="sort")
+            # median is an exact order statistic -> bitwise; the IQR lerp
+            # may differ by FMA contraction across programs (<=2 ulp)
+            np.testing.assert_array_equal(stats[s, t, w, :, 0],
+                                          np.asarray(med[0]))
+            np.testing.assert_allclose(stats[s, t, w, :, 1],
+                                       np.asarray(iqr[0]), rtol=5e-7,
+                                       atol=1e-8)
+
+    def test_fused_cached_equals_inline_bitwise(self, gw):
+        """Fused step with cache_collate_stats=True: same training
+        trajectory as the inline-sort fused step with the same keys (equal
+        to ulp-level numerics)."""
+        from meg_decoding_tpu.train.scan_loop import make_fused_speech_step
+        from meg_decoding_tpu.train.state import create_train_state
+
+        ds, model, opt, lc, cc = self._setup(gw)
+        example = gather_speech_batch(ds, np.arange(8), jax.random.PRNGKey(9))
+        state_a = create_train_state(model, opt, example[:3],
+                                     jax.random.PRNGKey(0))
+        state_b = create_train_state(model, opt, example[:3],
+                                     jax.random.PRNGKey(0))
+        inline = make_fused_speech_step(model, opt, lc, cc, ds)
+        cached = make_fused_speech_step(model, opt, lc, cc, ds,
+                                        cache_collate_stats=True)
+        assert cached.collate_stats is not None
+        assert inline.collate_stats is None
+        for i in range(3):
+            idx = jnp.arange(8) + i
+            key = jax.random.PRNGKey(100 + i)
+            state_a, ma = inline(state_a, idx, key)
+            state_b, mb = cached(state_b, idx, key)
+            assert float(ma["loss"]) == pytest.approx(float(mb["loss"]),
+                                                      rel=1e-6), i
+        for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                        jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_scan_epoch_cached_equals_inline(self, gw):
+        """Whole-epoch scan with the stats cache: same metrics and params as
+        the inline-sort scan epoch (same keys)."""
+        from meg_decoding_tpu.train.scan_loop import make_gwilliams_scan_epoch
+        from meg_decoding_tpu.train.state import create_train_state
+
+        ds, model, opt, lc, cc = self._setup(gw)
+        example = gather_speech_batch(ds, np.arange(8), jax.random.PRNGKey(9))
+        state_a = create_train_state(model, opt, example[:3],
+                                     jax.random.PRNGKey(0))
+        state_b = create_train_state(model, opt, example[:3],
+                                     jax.random.PRNGKey(0))
+        inline = make_gwilliams_scan_epoch(model, opt, lc, cc, ds,
+                                           updates=4, batch_size=8)
+        cached = make_gwilliams_scan_epoch(model, opt, lc, cc, ds,
+                                           updates=4, batch_size=8,
+                                           cache_collate_stats=True)
+        key = jax.random.PRNGKey(3)
+        state_a, ma = inline(state_a, key)
+        state_b, mb = cached(state_b, key)
+        assert float(ma["loss"]) == pytest.approx(float(mb["loss"]),
+                                                  rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                        jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_trainer_cli_engages_cache(self, gw, tmp_path):
+        """cache_collate_stats=true through the public trainer config."""
+        cfg, _ = gw
+        cfg = TestSpeechE2E()._speech_cfg(cfg, str(tmp_path / "out"))
+        cfg.seq2seq = True
+        cfg.data_parallel = False
+        cfg.fuse_gather = True
+        cfg.cache_collate_stats = True
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        assert best.get("test_top10", 0) > 0
