@@ -263,7 +263,7 @@ def main():
         from meg_decoding_tpu.data.gwilliams import compute_collate_stats
 
         stats = compute_collate_stats(packed, collate_cfg.baseline_len_samp)
-        float(stats[0, 0, 0, 0, 0])  # force completion through the relay
+        float(stats[0, 0])  # force completion through the relay
         extras["collate_stats_sweep_sec"] = round(time.time() - t0, 2)
         extras["collate_stats_hbm_gb"] = round(stats.size * 4 / 1e9, 2)
         del stats

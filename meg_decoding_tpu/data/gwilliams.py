@@ -214,13 +214,43 @@ def _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
     return X, Y, session_subject[sess_ids]
 
 
+def stats_lane_pad(C: int) -> int:
+    """Per-stat row width in the collate-stats table: C rounded up to the
+    TPU lane multiple (128) — see ``_stats_sweep`` for why."""
+    return -(-C // 128) * 128
+
+
 def _stats_sweep(recordings, meg_onsets, seq_len: int,
                  baseline_len_samp: int, impl: str = "sort",
                  chunk: int = 512):
     """Sweep EVERY (session, task, word) window once and return its collate
-    stats: (S, NT, W, C, 2) with [..., 0] = median, [..., 1] = IQR of the
-    baseline-corrected window (per channel), exactly as ``robust_stats``
-    computes them inside the inline collate.
+    stats as a FLAT row table (ceil(S·NT·W / chunk)·chunk, 2·Cp) with
+    Cp = C rounded up to a lane multiple (128): row ``(s·NT + t)·W + w``
+    holds [:C] = median, [Cp:Cp+C] = IQR of that window, baseline-corrected,
+    exactly as ``robust_stats`` computes them inside the inline collate.
+    Chunk-padded tail rows and the [C:Cp] lane padding are garbage, never
+    gathered.
+
+    Every aspect of the shape is load-bearing (traced,
+    tools/trace_step.py r3, + layout probes):
+
+    * med/iqr CONCATENATED along the minor dim — a trailing dim of 2 forces
+      a (2, 128) tiling whose gather relayout-copies the whole table EVERY
+      step (2.9 ms at full scale);
+    * each half padded to the 128-lane multiple — XLA picks entry layouts
+      minimizing tile padding, so a non-multiple minor dim (e.g. 2C=416 <
+      512) makes it emit the table COLUMN-major (rows divide 128 ⇒ zero
+      padding that way) and the consuming step pays a 2.5 ms relayout
+      before its row gather; at a lane-multiple width row-major has zero
+      padding too and wins the tie;
+    * the chunk padding is kept — slicing [:total] after the scan hands the
+      result layout back to the compiler.
+
+    Pinning the layout explicitly instead does not survive this rig:
+    ``out_shardings=Format(Layout(...))`` executables die with
+    INVALID_ARGUMENT whenever reloaded from the persistent compile cache
+    (axon relay limitation; fresh compiles work), and a trailing Pallas
+    identity gets a transpose inserted right after it.
 
     Pure and jittable: the caller jits it directly (single device) or wraps
     it in ``shard_map`` over the session axis (each device sweeps its own
@@ -235,6 +265,7 @@ def _stats_sweep(recordings, meg_onsets, seq_len: int,
 
     S, NT, C, T = recordings.shape
     W = meg_onsets.shape[-1]
+    Cp = stats_lane_pad(C)
     rec_flat = recordings.reshape(S * NT, C, T)
     total = S * NT * W
     n_chunks = -(-total // chunk)
@@ -249,19 +280,24 @@ def _stats_sweep(recordings, meg_onsets, seq_len: int,
         if baseline_len_samp > 0:
             X = baseline_correct(X, baseline_len_samp)
         med, iqr = robust_stats(X, axis=-1, impl=impl)
-        return None, jnp.stack([med, iqr], axis=-1)    # (chunk, C, 2)
+        return None, jnp.concatenate(
+            [jnp.pad(med, ((0, 0), (0, Cp - C))),
+             jnp.pad(iqr, ((0, 0), (0, Cp - C)))], axis=-1)  # (chunk, 2Cp)
 
     _, stats = jax.lax.scan(
         body, None,
         (onsets.reshape(n_chunks, chunk), rec_ids.reshape(n_chunks, chunk)))
-    return stats.reshape(n_chunks * chunk, C, 2)[:total].reshape(
-        S, NT, W, C, 2)
+    return stats.reshape(n_chunks * chunk, 2 * Cp)
 
 
 def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
                           impl: str = "sort", chunk: int = 512, mesh=None):
     """Precompute the epoch-invariant RobustScaler fits for every possible
-    batch window of a packed split → (S, NT, W, C, 2) device array.
+    batch window of a packed split → flat (≥S·NT·W, 2·Cp) device table,
+    Cp = ``stats_lane_pad(C)`` (row ``(s·NT + t)·W + w``; [:, :C] median,
+    [:, Cp:Cp+C] IQR; chunk-padded tail rows and lane padding unused — the
+    flat 2-D lane-aligned shape keeps both the sweep output and the
+    per-step row gather layout-clean; see ``_stats_sweep``).
 
     A Gwilliams batch row is a (session, task, word) window whose collate
     stats (median/IQR of the baseline-corrected window) never change across
@@ -270,14 +306,16 @@ def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
     tools/trace_step.py).  The reference pays the same redundancy on the
     host: sklearn ``RobustScaler`` is refit per batch
     (``gwilliams2022.py:654-662``).  One ~O(dataset · sessions) sweep at
-    trainer start amortizes it away; the train step then gathers (B, C, 2)
+    trainer start amortizes it away; the train step then gathers (B, 2C)
     rows and applies the same elementwise transform (ulp-exact)
     (``ops/scaling.py collate_preprocess_cached``).
 
     With ``mesh``, ``ds`` must already be session-sharded
     (``shard_gwilliams_splits``) and the sweep runs inside ``shard_map`` —
     each device fits its own session shard's windows; the returned table is
-    session-sharded like ``ds.meg_onsets``.
+    sharded over rows, each device holding its own sessions' (S_local·NT·W,
+    2C) block (row indices are per-shard, matching the local session draw in
+    ``local_shard_gather``).
 
     HBM cost: S·NT·W·C·2 f32 — ~0.6 GB at full Gwilliams scale (54
     sessions × ~8k words × 208 ch), vs the 9.3 GB recordings it sits next
@@ -294,7 +332,7 @@ def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
                     chunk=chunk),
             mesh=mesh,
             in_specs=(P("data", None, None, None), P("data", None, None)),
-            out_specs=P("data", None, None, None, None),
+            out_specs=P("data", None),
             check_vma=False,
         ))
         return fn(ds.recordings, ds.meg_onsets)
@@ -347,10 +385,11 @@ def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
     ``shard_map``: recordings/meg_onsets are sharded over sessions (axis 0),
     everything else replicated.
 
-    ``stats_local`` (optional, (S_local, NT, W, C, 2)): this device's shard
-    of the precomputed collate-stats table (``compute_collate_stats`` with a
-    mesh); when given, the matching (B_local, C, 2) stats rows are returned
-    as a fourth output for ``collate_preprocess_cached``.
+    ``stats_local`` (optional, flat (≥S_local·NT·W, 2·Cp) rows): this
+    device's shard of the precomputed collate-stats table
+    (``compute_collate_stats`` with a mesh); when given, the matching
+    (B_local, 2·Cp) stats rows are returned as a fourth output for
+    ``collate_preprocess_cached``.
 
     Each device pairs its ``B_local`` segments with sessions drawn uniformly
     from ITS OWN session shard (key folded with the device index).  With
@@ -379,7 +418,8 @@ def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
 
     subs = session_subject[d * S_local + sess_local]
     if stats_local is not None:
-        return X, Y, subs, stats_local[sess_local, task_ids, i_in_task]
+        W = meg_onsets_local.shape[-1]
+        return X, Y, subs, stats_local[rec_ids * W + i_in_task]
     return X, Y, subs
 
 

@@ -139,7 +139,7 @@ def _make_sharded_gather(mesh, seq_len: int, y_dtype=None,
     from its own recordings shard (see ``local_shard_gather``).
 
     ``with_stats``: the gather additionally takes the session-sharded
-    collate-stats table and returns the batch's (B, C, 2) stats rows
+    collate-stats table and returns the batch's (B, 2C) stats rows
     (sharded along 'data') as a fourth output."""
     from jax.sharding import PartitionSpec as P
 
@@ -147,8 +147,8 @@ def _make_sharded_gather(mesh, seq_len: int, y_dtype=None,
                 P("data", None, None), P(), P(), P(), P())
     out_specs = (P("data", None, None), P("data", None, None), P("data"))
     if with_stats:
-        in_specs += (P("data", None, None, None, None),)
-        out_specs += (P("data", None, None),)
+        in_specs += (P("data", None),)   # flat (S·NT·W, 2C) row table
+        out_specs += (P("data", None),)
 
     def local(idx, key, rec, meg_on, y_str, sp_on, sess_sub, seg,
               stats=None):
@@ -186,7 +186,7 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
 
     ``cache_collate_stats``: precompute every window's RobustScaler fit at
     build time (``compute_collate_stats`` — ~0.6 GB HBM, one sweep) so each
-    step gathers (B, C, 2) stats instead of sorting (B, C, T) — same sklearn
+    step gathers (B, 2C) stats instead of sorting (B, C, T) — same sklearn
     fit to ulp-level (ops/scaling.py collate_preprocess_cached),
     ~5.3 ms/step at B=256 bf16.  Under a mesh the table is session-sharded
     alongside the recordings.
@@ -242,6 +242,7 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
         return fused
 
     n_sessions = int(ds.recordings.shape[0])
+    NT, W = int(ds.meg_onsets.shape[1]), int(ds.meg_onsets.shape[2])
     seg_table = jnp.asarray(ds.segment_table())
     stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
                                    impl=qimpl)
@@ -257,7 +258,8 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
             seg_rows[:, 0], seg_rows[:, 1], sess, seq_len, y_dtype=y_dtype,
         )
         srows = (None if collate_stats is None
-                 else collate_stats[sess, seg_rows[:, 0], seg_rows[:, 1]])
+                 else collate_stats[(sess * NT + seg_rows[:, 0]) * W
+                                    + seg_rows[:, 1]])
         return step(state, X, Y, subs, collate_stats=srows)
 
     def fused(state, idx, key):
@@ -365,7 +367,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
     use_stats = bool(cache_collate_stats) and collate_cfg.enabled
     qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
     if use_stats:
-        # the scan body's step takes the gathered (B, C, 2) stats rows as a
+        # the scan body's step takes the gathered (B, 2C) stats rows as a
         # 4th batch element, routed to the collate_stats kwarg
         step_fn = lambda state, X, Y, subs, srows: step_jit(
             state, X, Y, subs, collate_stats=srows)
@@ -409,6 +411,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
 
     seg = jnp.asarray(ds.segment_table())  # (N, 2): task, i_in_task
     n_sessions = int(ds.recordings.shape[0])
+    NT, W = int(ds.meg_onsets.shape[1]), int(ds.meg_onsets.shape[2])
     stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
                                    impl=qimpl)
              if use_stats else None)
@@ -423,7 +426,8 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
                 session_subject, rows[:, 0], rows[:, 1], sess, seq_len,
                 y_dtype=y_dtype,
             )
-            return X, Y, subs, collate_stats[sess, rows[:, 0], rows[:, 1]]
+            flat = (sess * NT + rows[:, 0]) * W + rows[:, 1]
+            return X, Y, subs, collate_stats[flat]
 
         return _build_epoch(step_fn, gather, updates, batch_size,
                             int(len(ds)),

@@ -119,10 +119,10 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
 
     Signature: ``step(state, X, Y, subject_idxs, labels=None,
     collate_stats=None) → (state, metrics)`` with metrics {loss, top1,
-    top10, temp, lr-proxy step}.  ``collate_stats`` (optional, (B, C, 2)):
-    precomputed RobustScaler fits for this batch's windows — the collate
-    then applies them instead of re-sorting (ulp-exact; see
-    ``compute_collate_stats``).
+    top10, temp, lr-proxy step}.  ``collate_stats`` (optional, (B, 2C):
+    median ∥ IQR concatenated): precomputed RobustScaler fits for this
+    batch's windows — the collate then applies them instead of re-sorting
+    (ulp-exact; see ``compute_collate_stats``).
 
     ``mesh`` (optional): when training data-parallel, routes the CLIP loss
     through the explicit sharded-collective path (``clip_loss_sharded``) —
@@ -144,11 +144,18 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
         key, spatial_key, dropout_key = jax.random.split(state.key, 3)
         if collate_cfg.enabled:
             if collate_stats is not None:
-                # precomputed (B, C, 2) RobustScaler fits for these exact
-                # windows (data/gwilliams.py compute_collate_stats): skips
-                # the per-step (B, C, T) sort, ulp-exact output
+                # precomputed (B, 2·Cp) RobustScaler fits for these exact
+                # windows — [:, :C] median, [:, Cp:Cp+C] IQR, lane-padded
+                # so the table gather is layout-clean (data/gwilliams.py
+                # compute_collate_stats): skips the per-step (B, C, T) sort,
+                # ulp-exact output
+                from meg_decoding_tpu.data.gwilliams import stats_lane_pad
+
+                nC = X.shape[1]
+                Cp = stats_lane_pad(nC)
                 X = collate_preprocess_cached(
-                    X, collate_stats[..., 0], collate_stats[..., 1],
+                    X, collate_stats[:, :nC],
+                    collate_stats[:, Cp:Cp + nC],
                     collate_cfg.baseline_len_samp, collate_cfg.clamp_lim,
                     collate_cfg.clamp,
                 )

@@ -329,12 +329,18 @@ class TestShardedCollateStatsCache:
         inline = make_fused_speech_step(model, opt, lc, cc, train, mesh=mesh)
         cached = make_fused_speech_step(model, opt, lc, cc, train, mesh=mesh,
                                         cache_collate_stats=True)
-        # the stats table is session-sharded like the recordings
+        # the flat row table is session-block-sharded like the recordings;
+        # each device's block is its local (chunk-padded) sweep output
+        from meg_decoding_tpu.data.gwilliams import stats_lane_pad
+
         stats = cached.collate_stats
         assert stats is not None
-        S_pad = cached.ds.recordings.shape[0]
+        S_pad, NT, W = cached.ds.meg_onsets.shape
+        Cp = stats_lane_pad(cached.ds.recordings.shape[2])
+        local_rows = -(-(S_pad // N_DEV) * NT * W // 512) * 512
+        assert stats.shape == (N_DEV * local_rows, 2 * Cp)
         shard_shapes = {s.data.shape for s in stats.addressable_shards}
-        assert shard_shapes == {(S_pad // N_DEV,) + stats.shape[1:]}
+        assert shard_shapes == {(local_rows, 2 * Cp)}
 
         state_a = jax.device_put(state_a, replicated(mesh))
         state_b = jax.device_put(state_b, replicated(mesh))

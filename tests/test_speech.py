@@ -431,6 +431,12 @@ class TestCachedCollateStats:
         stats = np.asarray(compute_collate_stats(ds, baseline_len_samp=60,
                                                  chunk=64))
         S, NT, W = ds.meg_onsets.shape
+        # flat row table: chunk-padded tail rows, lane-padded stat halves
+        from meg_decoding_tpu.data.gwilliams import stats_lane_pad
+
+        Cp = stats_lane_pad(ds.recordings.shape[2])
+        assert stats.shape[1] == 2 * Cp
+        assert stats.shape[0] == -(-S * NT * W // 64) * 64
         L = int(ds.seq_len)
         rec = np.asarray(ds.recordings)
         T = rec.shape[-1]
@@ -443,12 +449,13 @@ class TestCachedCollateStats:
             med, iqr = robust_stats(baseline_correct(win, 60), axis=-1,
                                     impl="sort")
             # median is an exact order statistic -> bitwise; the IQR lerp
-            # may differ by FMA contraction across programs (<=2 ulp)
-            np.testing.assert_array_equal(stats[s, t, w, :, 0],
-                                          np.asarray(med[0]))
-            np.testing.assert_allclose(stats[s, t, w, :, 1],
-                                       np.asarray(iqr[0]), rtol=5e-7,
-                                       atol=1e-8)
+            # may differ by FMA contraction across programs (<=2 ulp);
+            # flat table rows are (2·Cp,): median at [:C], IQR at [Cp:Cp+C]
+            C = rec.shape[2]
+            row = stats[(s * NT + t) * W + w]
+            np.testing.assert_array_equal(row[:C], np.asarray(med[0]))
+            np.testing.assert_allclose(row[Cp:Cp + C], np.asarray(iqr[0]),
+                                       rtol=5e-7, atol=1e-8)
 
     def test_fused_cached_equals_inline_bitwise(self, gw):
         """Fused step with cache_collate_stats=True: same training

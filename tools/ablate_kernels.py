@@ -33,6 +33,8 @@ def main():
                     help="comma list of bn impls (pallas|xla|mxu)")
     ap.add_argument("--quant", default="pallas,sort",
                     help="comma list of quantile impls (pallas|sort)")
+    ap.add_argument("--cache", default="0",
+                    help="comma list of cache_collate_stats flags (0|1)")
     args = ap.parse_args()
 
     import jax
@@ -72,7 +74,7 @@ def main():
     loss_cfg = LossConfig(kind="clip")
     rng = np.random.RandomState(0)
 
-    def build(bn_impl, quantile_impl):
+    def build(bn_impl, quantile_impl, cache_stats=False):
         model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
                              seq2seq=True, dtype=dtype, bn_impl=bn_impl)
         example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
@@ -81,13 +83,16 @@ def main():
                                    jax.random.PRNGKey(0))
         cc = CollateConfig(baseline_len_samp=60, clamp_lim=20.0,
                            quantile_impl=quantile_impl)
-        fused = make_fused_speech_step(model, optimizer, loss_cfg, cc, packed)
+        fused = make_fused_speech_step(model, optimizer, loss_cfg, cc, packed,
+                                       cache_collate_stats=cache_stats)
         return fused, state
 
     variants = {}
     for bn in args.bn.split(","):
         for q in args.quant.split(","):
-            variants[f"bn_{bn}+q_{q}"] = build(bn, q)
+            for c in args.cache.split(","):
+                name = f"bn_{bn}+q_{q}" + ("+cached" if int(c) else "")
+                variants[name] = build(bn, q, cache_stats=bool(int(c)))
 
     # compile + warm every variant first
     for name, (fused, state) in variants.items():

@@ -69,6 +69,8 @@ def main():
                     help="steps inside the trace window")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--out", default=None, help="optional JSON dump path")
+    ap.add_argument("--cached-stats", action="store_true",
+                    help="trace the cache_collate_stats=true step variant")
     args = ap.parse_args()
 
     import jax
@@ -116,7 +118,8 @@ def main():
     state = create_train_state(model, optimizer, example, jax.random.PRNGKey(0))
     fused = make_fused_speech_step(
         model, optimizer, LossConfig(kind="clip"),
-        CollateConfig(baseline_len_samp=60, clamp_lim=20.0), packed)
+        CollateConfig(baseline_len_samp=60, clamp_lim=20.0), packed,
+        cache_collate_stats=args.cached_stats)
     rng = np.random.RandomState(0)
 
     def step(state, i):
