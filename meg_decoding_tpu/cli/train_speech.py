@@ -67,6 +67,11 @@ class _SpeechLoader:
         self.base_key = jax.random.PRNGKey(seed)
         self._n_calls = 0
         self.num_subjects = ds.num_subjects
+        # set by run() after shard_gwilliams_splits: eval/direct gathers from
+        # a session-sharded dataset must run per shard (see _gather_sharded)
+        self.mesh = None
+        self._sharded_gather = None
+        self._seg_table_dev = None
 
     @property
     def host_resident(self) -> bool:
@@ -82,11 +87,37 @@ class _SpeechLoader:
             key = jax.random.fold_in(self.base_key, self._n_calls)
             self._n_calls += 1
         if isinstance(self.ds, GwilliamsPacked):
+            if (self.mesh is not None
+                    and len(idx) % self.mesh.shape["data"] == 0):
+                return self._gather_sharded(idx, key)
             X, Y, subs, seg_ids = gather_speech_batch(self.ds, idx, key)
             return X, Y, subs
         # Brennan: random subject per chunk
         subs = jax.random.randint(key, (len(idx),), 0, self.ds.num_subjects)
         X, Y, subs, _ = self.ds.gather(idx, subject_idxs=subs)
+        return X, Y, subs
+
+    def _gather_sharded(self, idx, key):
+        """Gather from a session-sharded dataset per shard (shard_map): the
+        Pallas window-gather custom call has no GSPMD partitioning rule, so
+        a plain jit on sharded operands would all-gather the FULL padded
+        recordings onto every chip first (a transient ~9.3 GB unsharded
+        copy at full Gwilliams scale) — exactly what session sharding
+        exists to avoid.  Sessions are drawn per device from its own shard
+        (distribution-identical with equal shards; PARITY.md deviation 11),
+        matching the fused/scan train paths.  Batch size must divide the
+        data-axis size (fit/fit_scan round pool sizes via batch_multiple;
+        non-divisible direct calls fall back to the replicating path)."""
+        if self._sharded_gather is None:
+            from meg_decoding_tpu.train.scan_loop import _make_sharded_gather
+
+            self._sharded_gather = jax.jit(
+                _make_sharded_gather(self.mesh, int(self.ds.seq_len)))
+            self._seg_table_dev = jnp.asarray(self.ds.segment_table())
+        X, Y, subs = self._sharded_gather(
+            jnp.asarray(np.asarray(idx)), key, self._seg_table_dev,
+            self.ds.recordings, self.ds.meg_onsets, self.ds.y_stream,
+            self.ds.speech_onsets, self.ds.session_subject)
         return X, Y, subs
 
 
@@ -258,12 +289,16 @@ def run(cfg: Config) -> dict:
                                init_temperature=float(cfg.get("init_temperature", 5.1)))
     mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
     state = replicate_fn(state)
-    if mesh is not None and isinstance(train_set.ds, GwilliamsPacked):
+    if (mesh is not None and isinstance(train_set.ds, GwilliamsPacked)
+            and not train_set.ds.host_resident):
         # session-shard BOTH splits over the mesh up front.  Splits alias one
         # recordings/y_stream buffer by construction (build_gwilliams_dataset),
         # and shard_gwilliams_splits stages aliased buffers once — so the
         # sentence/deep test split is sharded too instead of staying fully
         # replicated per chip, and the whole dataset holds ONE sharded copy.
+        # (host_resident datasets were spilled ABOVE precisely because they
+        # don't fit HBM — sharding would re-upload them; they stream batches
+        # through the prefetch pipeline instead.)
         from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
 
         if test_set.ds is train_set.ds:  # shallow split shares the object
@@ -272,6 +307,10 @@ def run(cfg: Config) -> dict:
         else:
             train_set.ds, test_set.ds = shard_gwilliams_splits(
                 mesh, train_set.ds, test_set.ds)
+        # eval/direct gathers from the sharded splits must run per shard
+        # (_SpeechLoader._gather_sharded) — a plain jit gather would
+        # all-gather the full recordings onto every chip
+        train_set.mesh = test_set.mesh = mesh
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  mesh=mesh)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg, mesh=mesh)
@@ -351,7 +390,8 @@ def run(cfg: Config) -> dict:
             cache_collate_stats=bool(cfg.get("cache_collate_stats", False)))
         state, best = fit_scan(cfg, train_set, test_set, state, scan_epoch,
                                eval_step, logger, ckpt, seed=seed,
-                               start_epoch=start_epoch)
+                               start_epoch=start_epoch,
+                               batch_multiple=n_data)
         return best
 
     state, best = fit(cfg, train_set_for_fit, test_set, state,

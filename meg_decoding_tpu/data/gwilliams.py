@@ -194,10 +194,11 @@ def _gather_batch(recordings, y_stream, meg_onsets, speech_onsets,
     64-batch on v5e; the DMA kernel does it in ~1 ms.
 
     ``y_dtype``: optional dtype the Y windows are cast to INSIDE the gather
-    kernel (VMEM, before the HBM write-back).  bf16 training immediately
-    casts Y in the loss, so gathering it at f32 wastes a full round-trip of
-    the (B, F, L) batch through HBM; X always stays f32 — the collate
-    chain's RobustScaler must see the exact recorded values."""
+    kernel (VMEM, before the HBM write-back) — bf16 training gathers Y at
+    bf16 to halve its HBM round-trip (a documented numerics deviation of
+    the bf16 path: Y is quantized once, ~0.4% relative, symmetric with the
+    bf16 model output Z — PARITY.md deviation 15).  X always stays f32 —
+    the collate chain's RobustScaler must see the exact recorded values."""
     from meg_decoding_tpu.ops.pallas.window_gather import window_gather
 
     S, NT, C, T = recordings.shape
@@ -306,7 +307,7 @@ def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
     tools/trace_step.py).  The reference pays the same redundancy on the
     host: sklearn ``RobustScaler`` is refit per batch
     (``gwilliams2022.py:654-662``).  One ~O(dataset · sessions) sweep at
-    trainer start amortizes it away; the train step then gathers (B, 2C)
+    trainer start amortizes it away; the train step then gathers (B, 2·Cp)
     rows and applies the same elementwise transform (ulp-exact)
     (``ops/scaling.py collate_preprocess_cached``).
 
@@ -314,13 +315,15 @@ def compute_collate_stats(ds: GwilliamsPacked, baseline_len_samp: int,
     (``shard_gwilliams_splits``) and the sweep runs inside ``shard_map`` —
     each device fits its own session shard's windows; the returned table is
     sharded over rows, each device holding its own sessions' (S_local·NT·W,
-    2C) block (row indices are per-shard, matching the local session draw in
+    2·Cp) block (row indices are per-shard, matching the local session draw in
     ``local_shard_gather``).
 
-    HBM cost: S·NT·W·C·2 f32 — ~0.6 GB at full Gwilliams scale (54
-    sessions × ~8k words × 208 ch), vs the 9.3 GB recordings it sits next
-    to.  Sweep cost ≈ gathering + sorting the whole grid once (~10 s at
-    full scale) — repaid in the first ~2 epochs at updates=1200.
+    HBM cost: S·NT·W·2·Cp f32 with Cp = stats_lane_pad(C) — ~0.86 GB at
+    full Gwilliams scale (54 sessions × ~8k words, Cp=256 for C=208; the
+    128-lane padding costs ~40% over the tight 2·C layout but keeps the
+    table row-major, see ``_stats_sweep``), vs the 9.3 GB recordings it
+    sits next to.  Sweep cost ≈ gathering + sorting the whole grid once
+    (~10 s at full scale) — repaid in the first ~2 epochs at updates=1200.
     """
     seq_len = int(ds.seq_len)
     if mesh is not None:

@@ -84,8 +84,11 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
         F=_resolve_F(cfg),
         K=int(cfg.get("K", 32)),
         d_drop=float(cfg.get("d_drop", 0.1)),
-        # 'xla' under a mesh (auto-spmd synced-BN); 'auto' = Pallas stats
-        # kernels on TPU (models/layers.py FusedBatchNorm)
+        # 'auto' resolves to plain XLA reductions — the measured-fastest
+        # backend (RESULTS.md round 3); 'pallas'/'mxu' are opt-in
+        # experiments (models/layers.py FusedBatchNorm).  The CLIs force
+        # 'xla' under a mesh only to pin that choice against future
+        # defaults (the Pallas kernels have no partitioning rule).
         bn_impl=str(cfg.get("bn_impl", "auto")),
     )
     if name == "brain_encoder":

@@ -194,7 +194,11 @@ class FusedBatchNorm(nn.Module):
             return (x * a + b).astype(out_dtype)
         y, mean, var = batch_norm_train(x, scale, bias, float(self.epsilon),
                                         self.impl)
-        if not self.is_initializing():
+        # update running stats only when the collection is mutable — exactly
+        # nn.BatchNorm's guard; a train=True apply without
+        # mutable=['batch_stats'] must silently skip the update, not raise
+        if (not self.is_initializing()
+                and self.is_mutable_collection("batch_stats")):
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
             ra_var.value = m * ra_var.value + (1.0 - m) * var

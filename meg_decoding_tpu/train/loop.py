@@ -308,11 +308,17 @@ def fit_scan(
     ckpt: Optional[CheckpointManager] = None,
     seed: int = 0,
     start_epoch: int = 0,
+    batch_multiple: int = 1,
 ):
     """Epoch driver over whole-epoch scan programs (train/scan_loop.py):
-    one device call per epoch, then the usual test pass + logging + ckpt."""
+    one device call per epoch, then the usual test pass + logging + ckpt.
+    ``batch_multiple`` rounds the test-pool size down to a multiple (the
+    data-axis size under a mesh, so the session-sharded eval gather and the
+    sharded eval step both get equal per-device slices)."""
     epochs = int(cfg.epochs)
     test_size = min(len(test_set), int(cfg.get("test_size", cfg.batch_size)))
+    if (test_size // batch_multiple) * batch_multiple > 0:
+        test_size = (test_size // batch_multiple) * batch_multiple
     base_key = jax.random.PRNGKey(seed)
     best_top10, best_metrics = -1.0, {}
 

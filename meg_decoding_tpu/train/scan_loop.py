@@ -87,7 +87,11 @@ def shard_gwilliams_splits(mesh, *splits: GwilliamsPacked):
         key = id(x)
         if key not in staged:
             h = _np.asarray(x)
-            if per_session:
+            if per_session and pad:
+                # fancy-indexing copies the full array — skip it when no
+                # padding is needed (the common tuned configuration), as
+                # pad_sessions does: at full scale the copy would double
+                # host RAM by ~9.3 GB for nothing
                 h = h[take]
             spec = (P("data", *([None] * (h.ndim - 1))) if per_session
                     else P())
@@ -122,11 +126,14 @@ def _shard_gwilliams(ds: GwilliamsPacked, mesh):
 
 
 def _loss_y_dtype(model, loss_cfg: LossConfig):
-    """Gather-time dtype for the Y (speech-embedding) windows: the CLIP loss
-    casts Y to the model's compute dtype immediately, so in bf16 mode the
-    gather kernel casts in VMEM and halves Y's HBM write+read traffic
-    (~380 MB/step at B=256 seq2seq scale — tools/trace_step.py).  f32 mode
-    and non-CLIP losses keep the exact f32 windows (None = source dtype)."""
+    """Gather-time dtype for the Y (speech-embedding) windows: in bf16 mode
+    the gather kernel casts Y in VMEM, halving its HBM write+read traffic
+    (~380 MB/step at B=256 seq2seq scale — tools/trace_step.py).  This
+    quantizes the speech embeddings once (~0.4% relative) — a documented
+    numerics deviation of the bf16 path (PARITY.md deviation 15), symmetric
+    with Z, which the bf16 model already emits in bf16; the CLIP normalize
+    and logits still accumulate in f32 (objectives/clip.py).  f32 mode and
+    non-CLIP losses keep the exact f32 windows (None = source dtype)."""
     if loss_cfg.kind == "clip" and getattr(model, "dtype", None) == jnp.bfloat16:
         return jnp.bfloat16
     return None
@@ -139,7 +146,7 @@ def _make_sharded_gather(mesh, seq_len: int, y_dtype=None,
     from its own recordings shard (see ``local_shard_gather``).
 
     ``with_stats``: the gather additionally takes the session-sharded
-    collate-stats table and returns the batch's (B, 2C) stats rows
+    collate-stats table and returns the batch's (B, 2·Cp) stats rows
     (sharded along 'data') as a fourth output."""
     from jax.sharding import PartitionSpec as P
 
@@ -147,7 +154,7 @@ def _make_sharded_gather(mesh, seq_len: int, y_dtype=None,
                 P("data", None, None), P(), P(), P(), P())
     out_specs = (P("data", None, None), P("data", None, None), P("data"))
     if with_stats:
-        in_specs += (P("data", None),)   # flat (S·NT·W, 2C) row table
+        in_specs += (P("data", None),)   # flat (S·NT·W, 2·Cp) row table
         out_specs += (P("data", None),)
 
     def local(idx, key, rec, meg_on, y_str, sp_on, sess_sub, seg,
@@ -185,8 +192,8 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
     multi-chip flagship path (VERDICT round-1 item 2).
 
     ``cache_collate_stats``: precompute every window's RobustScaler fit at
-    build time (``compute_collate_stats`` — ~0.6 GB HBM, one sweep) so each
-    step gathers (B, 2C) stats instead of sorting (B, C, T) — same sklearn
+    build time (``compute_collate_stats`` — ~0.86 GB HBM, one sweep) so each
+    step gathers (B, 2·Cp) stats instead of sorting (B, C, T) — same sklearn
     fit to ulp-level (ops/scaling.py collate_preprocess_cached),
     ~5.3 ms/step at B=256 bf16.  Under a mesh the table is session-sharded
     alongside the recordings.
@@ -367,7 +374,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
     use_stats = bool(cache_collate_stats) and collate_cfg.enabled
     qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
     if use_stats:
-        # the scan body's step takes the gathered (B, 2C) stats rows as a
+        # the scan body's step takes the gathered (B, 2·Cp) stats rows as a
         # 4th batch element, routed to the collate_stats kwarg
         step_fn = lambda state, X, Y, subs, srows: step_jit(
             state, X, Y, subs, collate_stats=srows)

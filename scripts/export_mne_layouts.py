@@ -14,8 +14,8 @@ import os
 
 import numpy as np
 
-LAYOUTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "meg_decoding_tpu", "data", "layouts")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAYOUTS = os.path.join(REPO_ROOT, "meg_decoding_tpu", "data", "layouts")
 
 
 def export_easycap_m10():
@@ -69,7 +69,7 @@ def check_easycap_m10(atol: float = 0.02) -> bool:
 
     import sys
 
-    sys.path.insert(0, os.path.dirname(LAYOUTS.rstrip(os.sep)))
+    sys.path.insert(0, REPO_ROOT)  # make meg_decoding_tpu importable from any cwd
     from meg_decoding_tpu.data.layout import (
         easycap_m10_locations,
         normalize_locations,

@@ -289,3 +289,23 @@ class TestComputeDtype:
         # bf16 has ~3 decimal digits; outputs must correlate near-perfectly
         corr = np.corrcoef(out32.ravel(), out16.ravel())[0, 1]
         assert corr > 0.999
+
+
+def test_fused_bn_skips_stats_update_without_mutable():
+    """nn.BatchNorm drop-in contract: a train-mode apply WITHOUT
+    mutable=['batch_stats'] silently skips the running-stat update rather
+    than raising flax's immutable-collection error (steps.py's first-step
+    else-branch and external callers rely on this)."""
+    from meg_decoding_tpu.models.layers import FusedBatchNorm
+
+    bn = FusedBatchNorm()
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 6, 8), jnp.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x)
+    y = bn.apply(variables, x)  # no mutable: must not raise
+    assert np.isfinite(np.asarray(y)).all()
+    # with mutable, the stats update still happens
+    y2, updated = bn.apply(variables, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2))
+    assert not np.allclose(
+        np.asarray(updated["batch_stats"]["mean"]),
+        np.asarray(variables["batch_stats"]["mean"]))

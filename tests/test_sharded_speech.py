@@ -372,3 +372,81 @@ class TestShardedCollateStatsCache:
         state, m = epoch(state, jax.random.PRNGKey(7))
         assert np.isfinite(float(m["loss"]))
         assert float(m["skipped"]) == 0.0
+
+
+class TestShardedEvalGather:
+    """Eval/direct gathers from a session-sharded dataset must run per shard
+    (_SpeechLoader._gather_sharded): the Pallas window-gather custom call has
+    no GSPMD partitioning rule, so a plain jit on sharded operands would
+    all-gather the full padded recordings onto every chip (a transient
+    ~9.3 GB unsharded copy at full scale)."""
+
+    def test_loader_gathers_per_shard(self, packed, mesh):
+        from meg_decoding_tpu.cli.train_speech import _SpeechLoader
+        from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
+
+        _, train, test = packed
+        _, te_s = shard_gwilliams_splits(mesh, train, test)
+        loader = _SpeechLoader(te_s, seed=3)
+        loader.mesh = mesh
+        idx = np.arange(min(B, len(te_s)))
+        key = jax.random.PRNGKey(21)
+        X, Y, subs = loader.gather(idx, key=key)
+
+        # oracle: same device-major session draw, single-device gather
+        te_p = pad_sessions(test, N_DEV)
+        sess = _emulated_sessions(key, N_DEV, te_p.recordings.shape[0],
+                                  len(idx))
+        seg = jnp.asarray(te_p.segment_table())[jnp.asarray(idx)]
+        Xr, Yr, sr = _gather_batch(
+            te_p.recordings, te_p.y_stream, te_p.meg_onsets,
+            te_p.speech_onsets, te_p.session_subject,
+            seg[:, 0], seg[:, 1], sess, te_p.seq_len)
+        np.testing.assert_array_equal(np.asarray(X), np.asarray(Xr))
+        np.testing.assert_array_equal(np.asarray(Y), np.asarray(Yr))
+        np.testing.assert_array_equal(np.asarray(subs), np.asarray(sr))
+        # the output really is batch-sharded over the mesh
+        assert len(X.sharding.device_set) == N_DEV
+
+    def test_loader_falls_back_on_indivisible_batch(self, packed, mesh):
+        """A batch that doesn't divide the data axis (tiny direct calls)
+        falls back to the replicating path instead of failing."""
+        from meg_decoding_tpu.cli.train_speech import _SpeechLoader
+        from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
+
+        _, train, test = packed
+        _, te_s = shard_gwilliams_splits(mesh, train, test)
+        loader = _SpeechLoader(te_s, seed=3)
+        loader.mesh = mesh
+        n = min(B + 1, len(te_s))
+        X, Y, subs = loader.gather(np.arange(n), key=jax.random.PRNGKey(2))
+        assert X.shape[0] == n and Y.shape[0] == n and subs.shape[0] == n
+
+
+class TestHostResidentUnderMesh:
+    def test_spilled_dataset_is_not_resharded(self, tmp_path, monkeypatch):
+        """host_resident: true must keep the recordings in host RAM even when
+        a data-parallel mesh is active — resharding would re-upload arrays
+        that were spilled precisely because they exceed HBM."""
+        import meg_decoding_tpu.train.scan_loop as scan_loop
+
+        def _boom(*a, **k):
+            raise AssertionError(
+                "shard_gwilliams_splits must not run on a host-resident "
+                "dataset (it would re-upload the spilled recordings)")
+
+        monkeypatch.setattr(scan_loop, "shard_gwilliams_splits", _boom)
+        cache = str(tmp_path / "cache")
+        cfg = make_gwilliams_cache(cache)
+        cfg.save_root = str(tmp_path / "out")
+        for k, v in dict(model="brain_encoder", D1=8, D2=12, F=16, K=4,
+                         d_drop=0.1, seq2seq=True, batch_size=16, updates=2,
+                         epochs=1, use_sampler=True, test_size=16, lr=1e-3,
+                         lr_scheduler="none", init_temperature=5.1, seed=0,
+                         data_parallel=True, host_resident=True).items():
+            setattr(cfg, k, v)
+        cfg.set_dotted("loss.kind", "clip")
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
