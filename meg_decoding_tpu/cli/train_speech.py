@@ -89,6 +89,15 @@ class _SpeechLoader:
         if isinstance(self.ds, GwilliamsPacked):
             if (self.mesh is not None
                     and len(idx) % self.mesh.shape["data"] == 0):
+                n_dev = self.mesh.shape["data"]
+                if self.ds.host_resident:
+                    # spilled data can't be gathered in shard_map, but the
+                    # session draw still emulates the sharded device run's
+                    # (device_major_sessions) so a spill run logs exactly
+                    # what the HBM run logs
+                    X, Y, subs, _ = gather_speech_batch(self.ds, idx, key,
+                                                        device_major=n_dev)
+                    return X, Y, subs
                 return self._gather_sharded(idx, key)
             X, Y, subs, seg_ids = gather_speech_batch(self.ds, idx, key)
             return X, Y, subs
@@ -289,27 +298,30 @@ def run(cfg: Config) -> dict:
                                init_temperature=float(cfg.get("init_temperature", 5.1)))
     mesh, shard_fn, replicate_fn = setup_data_parallel(cfg)
     state = replicate_fn(state)
-    if (mesh is not None and isinstance(train_set.ds, GwilliamsPacked)
-            and not train_set.ds.host_resident):
-        # session-shard BOTH splits over the mesh up front.  Splits alias one
-        # recordings/y_stream buffer by construction (build_gwilliams_dataset),
-        # and shard_gwilliams_splits stages aliased buffers once — so the
-        # sentence/deep test split is sharded too instead of staying fully
-        # replicated per chip, and the whole dataset holds ONE sharded copy.
-        # (host_resident datasets were spilled ABOVE precisely because they
-        # don't fit HBM — sharding would re-upload them; they stream batches
-        # through the prefetch pipeline instead.)
-        from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
+    if mesh is not None and isinstance(train_set.ds, GwilliamsPacked):
+        if not train_set.ds.host_resident:
+            # session-shard BOTH splits over the mesh up front.  Splits
+            # alias one recordings/y_stream buffer by construction
+            # (build_gwilliams_dataset), and shard_gwilliams_splits stages
+            # aliased buffers once — so the sentence/deep test split is
+            # sharded too instead of staying fully replicated per chip, and
+            # the whole dataset holds ONE sharded copy.  (host_resident
+            # datasets were spilled ABOVE precisely because they don't fit
+            # HBM — sharding would re-upload them; they stream batches
+            # through the prefetch pipeline instead.)
+            from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
 
-        if test_set.ds is train_set.ds:  # shallow split shares the object
-            train_set.ds = test_set.ds = \
-                shard_gwilliams_splits(mesh, train_set.ds)[0]
-        else:
-            train_set.ds, test_set.ds = shard_gwilliams_splits(
-                mesh, train_set.ds, test_set.ds)
+            if test_set.ds is train_set.ds:  # shallow split shares the object
+                train_set.ds = test_set.ds = \
+                    shard_gwilliams_splits(mesh, train_set.ds)[0]
+            else:
+                train_set.ds, test_set.ds = shard_gwilliams_splits(
+                    mesh, train_set.ds, test_set.ds)
         # eval/direct gathers from the sharded splits must run per shard
         # (_SpeechLoader._gather_sharded) — a plain jit gather would
-        # all-gather the full recordings onto every chip
+        # all-gather the full recordings onto every chip; a host-resident
+        # loader instead emulates the sharded run's session draw
+        # (device_major_sessions) so spill runs log identical metrics
         train_set.mesh = test_set.mesh = mesh
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  mesh=mesh)

@@ -426,16 +426,50 @@ def local_shard_gather(idx_local, key, rec_local, meg_onsets_local, y_stream,
     return X, Y, subs
 
 
-def gather_speech_batch(ds: GwilliamsPacked, segment_ids: np.ndarray, key):
+def device_major_sessions(key, n_dev: int, n_sessions: int, batch: int):
+    """The session draw a ``local_shard_gather`` over ``n_dev`` devices
+    would produce, computed WITHOUT a mesh: per device ``d``, fold ``key``
+    with ``d`` and draw ``batch/n_dev`` sessions from that device's
+    ``pad_sessions(n_dev)``-padded shard, then map padded ids back to the
+    unpadded sessions they alias.  Lets a host-resident (spilled) dataset
+    replay bit-identical batches to a session-sharded device run — the
+    spill path stays a drop-in for the HBM path under a mesh."""
+    S_pad = -(-n_sessions // n_dev) * n_dev
+    S_local = S_pad // n_dev
+    b_local = batch // n_dev
+    parts = []
+    for d in range(n_dev):
+        kd = jax.random.fold_in(key, d)
+        parts.append(d * S_local
+                     + jax.random.randint(kd, (b_local,), 0, S_local))
+    padded = np.concatenate([np.asarray(p) for p in parts])
+    # pad_sessions repeats sessions cyclically: padded id p >= S aliases
+    # session (p - S) % S
+    return np.where(padded < n_sessions, padded,
+                    (padded - n_sessions) % n_sessions)
+
+
+def gather_speech_batch(ds: GwilliamsPacked, segment_ids: np.ndarray, key,
+                        device_major: int | None = None):
     """Batch = segments by global id + a random session each (reproducing
     ``__getitem__``'s random subject-session pairing, :130-143).
 
     On a host-resident dataset (``to_host``) the windows are numpy slices
     with the SAME ``jax.random`` session draw — batches are bit-identical
-    to the device path; only the transfer strategy differs."""
+    to the device path; only the transfer strategy differs.
+
+    ``device_major``: draw sessions as an ``n``-device session-sharded
+    gather would (``device_major_sessions``), so a host-resident run under
+    a data-parallel mesh logs exactly what the device-resident sharded run
+    logs (requires ``len(segment_ids) % n == 0``; the trainer's loader
+    falls back to the global draw otherwise)."""
     seg = ds.segment_table()[np.asarray(segment_ids)]
     n_sessions = ds.recordings.shape[0]
-    sess_ids = jax.random.randint(key, (len(seg),), 0, n_sessions)
+    if device_major is not None and len(seg) % device_major == 0:
+        sess_ids = device_major_sessions(key, device_major, n_sessions,
+                                         len(seg))
+    else:
+        sess_ids = jax.random.randint(key, (len(seg),), 0, n_sessions)
     if isinstance(ds.recordings, np.ndarray):  # host spill path
         X, Y, subs = _gather_batch_host(ds, seg[:, 0], seg[:, 1],
                                         np.asarray(sess_ids))

@@ -408,6 +408,30 @@ class TestShardedEvalGather:
         # the output really is batch-sharded over the mesh
         assert len(X.sharding.device_set) == N_DEV
 
+    def test_spilled_loader_matches_sharded_loader_bitwise(self, packed, mesh):
+        """A host-resident (spilled) loader under the same mesh must draw the
+        SAME sessions as the session-sharded device loader
+        (device_major_sessions emulates the shard_map draw), so spill runs
+        log exactly what HBM runs log — the drop-in contract."""
+        from meg_decoding_tpu.cli.train_speech import _SpeechLoader
+        from meg_decoding_tpu.data.gwilliams import to_host
+        from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
+
+        _, train, test = packed
+        _, te_s = shard_gwilliams_splits(mesh, train, test)
+        dev_loader = _SpeechLoader(te_s, seed=3)
+        dev_loader.mesh = mesh
+        host_loader = _SpeechLoader(to_host(test), seed=3)
+        host_loader.mesh = mesh
+        idx = np.arange(min(B, len(test)))
+        key = jax.random.PRNGKey(9)
+        Xd, Yd, sd = dev_loader.gather(idx, key=key)
+        Xh, Yh, sh = host_loader.gather(idx, key=key)
+        assert isinstance(Xh, np.ndarray)  # really the spill path
+        np.testing.assert_array_equal(np.asarray(Xd), Xh)
+        np.testing.assert_array_equal(np.asarray(Yd), Yh)
+        np.testing.assert_array_equal(np.asarray(sd), sh)
+
     def test_loader_falls_back_on_indivisible_batch(self, packed, mesh):
         """A batch that doesn't divide the data axis (tiny direct calls)
         falls back to the replicating path instead of failing."""
