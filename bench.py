@@ -161,7 +161,6 @@ def main():
     from meg_decoding_tpu.train.steps import (
         CollateConfig,
         LossConfig,
-        make_train_step,
     )
 
     B, C, F = 64, 208, 1024

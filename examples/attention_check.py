@@ -13,8 +13,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
 from meg_decoding_tpu.cli.main import parse_cli
 from meg_decoding_tpu.data.layout import ch_locations_2d
 from meg_decoding_tpu.data.roi import roi

@@ -13,7 +13,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import optax
 
 from meg_decoding_tpu.cli.evaluate_god import _build, predict
 from meg_decoding_tpu.cli.main import parse_cli

@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from meg_decoding_tpu.cli.main import parse_cli
 from meg_decoding_tpu.data.gwilliams import preprocess_recordings
-from meg_decoding_tpu.utils.cache import check_preprocs, is_done, mark_done
+from meg_decoding_tpu.utils.cache import check_preprocs, mark_done
 
 NUM_SUBJECTS = 27
 NUM_SESSIONS = 2

@@ -19,7 +19,6 @@ import glob
 import gzip
 import json
 import os
-import re
 import sys
 import tempfile
 
@@ -95,7 +94,6 @@ def main():
     from meg_decoding_tpu.train.steps import (
         CollateConfig,
         LossConfig,
-        make_train_step,
     )
 
     B, C, F = args.batch, 208, 1024
