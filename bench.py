@@ -134,6 +134,10 @@ def main():
                     help="skip the cache_collate_stats=true rows")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--windows", type=int, default=5)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke mode: tiny model/batch dims so every bench "
+                         "code path executes in seconds on CPU (numbers are "
+                         "meaningless; validates the bench itself)")
     args = ap.parse_args()
 
     import jax
@@ -165,10 +169,14 @@ def main():
 
     B, C, F = 64, 208, 1024
     D1, D2, K = 270, 320, 32
+    B2 = 256  # throughput-optimal batch rows
     if args.scale == "full":
         S, n_sessions, rec_sec, words = 27, 2, 392.0, 2000
     else:
         S, n_sessions, rec_sec, words = 2, 2, 120.0, 120
+    if args.tiny:
+        B, C, F, D1, D2, K, B2 = 8, 12, 16, 8, 12, 4, 16
+        S, n_sessions, rec_sec, words = 2, 2, 30.0, 24
     packed = _make_synthetic_packed(C=C, F=F, rate=120, rec_sec=rec_sec,
                                     words_per_task=words, n_subjects=S,
                                     n_sessions=n_sessions, seq_len_sec=3)
@@ -225,7 +233,7 @@ def main():
 
     extras = {
         "hbm_resident_dataset_gb": round(hbm_gb, 2),
-        "scale": args.scale,
+        "scale": "tiny" if args.tiny else args.scale,
         "sec_per_step": round(dt_f32, 5),
         "model_flops_per_step": flops,
         "mfu_vs_v5e_bf16_peak": round(mfu_f32, 4),
@@ -241,7 +249,6 @@ def main():
     if not args.skip_b256:
         # throughput-optimal configuration (the reference trains at B=64;
         # a TPU-first framework publishes its best batch too)
-        B2 = 256
         flops256 = _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
         dt256 = bench_dtype(None, batch=B2)
         extras["b256_samples_per_sec"] = round(B2 / dt256, 2)
@@ -269,11 +276,11 @@ def main():
         dtc = bench_dtype(None, cache_stats=True)
         extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
         if not args.skip_bf16 and not args.skip_b256:
-            dtc256b = bench_dtype(jnp.bfloat16, batch=256, cache_stats=True)
+            dtc256b = bench_dtype(jnp.bfloat16, batch=B2, cache_stats=True)
             extras["b256_bf16_cached_stats_samples_per_sec"] = round(
-                256 / dtc256b, 2)
+                B2 / dtc256b, 2)
             extras["b256_bf16_cached_stats_mfu"] = round(
-                _analytic_step_flops(256, C, seq_len, D1, D2, F, K)
+                _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
                 / dtc256b / V5E_PEAK_FLOPS, 4)
 
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------
