@@ -1,0 +1,103 @@
+"""Export a trained checkpoint as a deployable serving artifact.
+
+``meg-decode-export dataset=Gwilliams2022 save_root=runs_out`` (or
+``python -m meg_decoding_tpu.cli.export_model ...``) rebuilds the model the
+same way the evaluators do (``cli/evaluate_speech.py``/``evaluate_god.py``),
+restores ``model_best``/``model_last`` from ``save_root/ckpt``, and writes a
+batch-polymorphic tpu+cpu ``jax.export`` artifact (full collate + encoder
+pipeline) to ``save_root/export/`` — see ``serving/export.py``.  The
+reference has no analog: its inference requires the training repo + torch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+
+from meg_decoding_tpu.core.config import Config
+from meg_decoding_tpu.data.layout import ch_locations_2d
+from meg_decoding_tpu.models.factory import get_model
+from meg_decoding_tpu.serving.export import save_artifact
+from meg_decoding_tpu.train.checkpoint import CheckpointManager
+from meg_decoding_tpu.train.schedules import make_optimizer
+from meg_decoding_tpu.train.state import create_train_state
+from meg_decoding_tpu.train.steps import CollateConfig
+
+__all__ = ["run", "main"]
+
+
+def run(cfg: Config) -> str:
+    seed = int(cfg.get("seed", 0))
+    save_root = cfg.get("save_root", "runs_out")
+    out_dir = cfg.get("export_dir") or os.path.join(save_root, "export")
+
+    if cfg.dataset == "GOD":
+        from meg_decoding_tpu.data.god import build_god_dataset
+        from meg_decoding_tpu.data.roi import roi
+
+        dataset = build_god_dataset(cfg, "train")
+        cfg.num_subjects = dataset.num_subjects
+        roi_channels = roi(cfg)
+        loc = ch_locations_2d(cfg, roi_channels)
+        num_channels = len(roi_channels)
+        model = get_model(cfg, loc=loc, num_channels=num_channels)
+    else:
+        from meg_decoding_tpu.cli.train_speech import (
+            _load_brennan,
+            _load_gwilliams,
+        )
+
+        loader = (_load_gwilliams if cfg.dataset == "Gwilliams2022"
+                  else _load_brennan)
+        dataset, _ = loader(cfg, seed)
+        cfg.num_subjects = dataset.num_subjects
+        num_channels = int(dataset.gather(np.arange(1))[0].shape[1])
+        cfg.num_channels = num_channels
+        loc = ch_locations_2d(cfg)
+        model = get_model(cfg, loc=loc, num_channels=num_channels)
+
+    example = dataset.gather(np.arange(min(len(dataset), 8)))
+    seq_len = int(np.asarray(example[0]).shape[-1])
+    optimizer = make_optimizer(cfg, int(cfg.get("updates", 1200)))
+    abstract = create_train_state(model, optimizer, example[:3],
+                                  jax.random.PRNGKey(seed))
+    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    state, which = ckpt.load_best_or_last(abstract)
+    print(f"exporting checkpoint: {which}")
+
+    rate = float(cfg.preprocs.get("brain_resample_rate") or 0)
+    collate_cfg = CollateConfig(
+        baseline_len_samp=int(rate * float(cfg.preprocs.get("baseline_len_sec", 0))),
+        clamp_lim=float(cfg.preprocs.get("clamp_lim", 20)),
+        clamp=bool(cfg.preprocs.get("clamp", True)),
+        # mirror the trainers' collate decision (cli/train_speech.py:279,
+        # evaluate_god.py predict applies the chain for GOD too)
+        enabled=cfg.dataset in ("Gwilliams2022", "GOD"),
+    )
+    save_artifact(out_dir, model, state.params, state.batch_stats,
+                  num_channels, seq_len, collate_cfg,
+                  extra_meta={"dataset": str(cfg.dataset),
+                              "checkpoint": which,
+                              "num_subjects": int(cfg.num_subjects)})
+    print(f"serving artifact written to {out_dir}")
+    return out_dir
+
+
+def main(argv=None):
+    from meg_decoding_tpu.cli.main import parse_cli
+
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    overrides = dict(a.split("=", 1) for a in argv
+                     if "=" in a and not a.startswith("--"))
+    god = overrides.get("dataset") == "GOD"
+    cfg = parse_cli(argv, default_config_name="config_GOD" if god else "config")
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()
