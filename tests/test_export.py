@@ -132,3 +132,32 @@ class TestExportCLI:
         Z = np.asarray(served(np.asarray(X), np.asarray(subs)))
         np.testing.assert_allclose(Z, np.asarray(ref[:8]), rtol=2e-5,
                                    atol=2e-5)
+
+    def test_export_from_trained_speech_checkpoint(self, tmp_path):
+        """The speech branch: Gwilliams seq2seq checkpoint → artifact whose
+        program carries the collate chain and the (B, F, T) head."""
+        from tests.fixtures import make_gwilliams_cache
+        from meg_decoding_tpu.cli.train_speech import run as train_run
+        from meg_decoding_tpu.cli.export_model import run as export_run
+
+        cfg = make_gwilliams_cache(str(tmp_path / "cache"))
+        save_root = str(tmp_path / "out")
+        for k, v in dict(save_root=save_root, model="brain_encoder", D1=8,
+                         D2=12, F=16, K=4, d_drop=0.1, seq2seq=True,
+                         batch_size=16, updates=2, epochs=1,
+                         use_sampler=True, test_size=16, lr=1e-3,
+                         lr_scheduler="none", init_temperature=5.1,
+                         seed=0).items():
+            setattr(cfg, k, v)
+        cfg.set_dotted("loss.kind", "clip")
+        train_run(cfg)
+        served = load_artifact(export_run(cfg))
+        assert served.meta["dataset"] == "Gwilliams2022"
+        assert served.meta["collate"]["enabled"] is True
+
+        rng = np.random.RandomState(3)
+        nC = served.meta["input"]["X"][1]
+        seq = served.meta["input"]["X"][2]
+        Z = np.asarray(served(rng.randn(3, nC, seq).astype(np.float32),
+                              np.zeros(3, np.int32)))
+        assert Z.shape == (3, 16, seq) and np.isfinite(Z).all()
