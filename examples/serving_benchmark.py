@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--seq2seq", action="store_true",
                     help="seq2seq head (speech); default mean-pooled (GOD-style)")
+    ap.add_argument("--artifact", default=None,
+                    help="also time a deployed jax.export artifact dir "
+                         "(serving/export.py) at the same batch sizes — "
+                         "shows the deployment path costs nothing over jit")
     args = ap.parse_args()
 
     import jax
@@ -46,43 +50,62 @@ def main():
     from meg_decoding_tpu.models.brain_encoder import BrainEncoder
 
     C, T, F = 208, 360, 1024
-    loc = normalize_locations(synthetic_cap_locations(C))
-    model = BrainEncoder(loc=loc, num_subjects=27, D1=270, D2=320, F=F, K=32,
-                        seq2seq=args.seq2seq)
+    num_subjects = 27
     rng = np.random.RandomState(0)
-    X1 = jnp.asarray(rng.randn(1, C, T), jnp.float32)
-    subs1 = jnp.zeros((1,), jnp.int32)
-    variables = model.init({"params": jax.random.PRNGKey(0),
-                            "spatial": jax.random.PRNGKey(1)}, X1, subs1)
+    served = None
+    if args.artifact:
+        from meg_decoding_tpu.serving import load_artifact
 
-    # params are a jit ARGUMENT — closing over them would bake ~40 MB of
-    # weights into the HLO shipped through the remote-compile relay (the
-    # CLAUDE.md "Broken pipe"/HTTP 413 failure mode)
-    def forward(v, X, subs):
-        return model.apply(v, X, subs, train=False)
+        served = load_artifact(args.artifact)
+        C = served.meta["input"]["X"][1]
+        T = served.meta["input"]["X"][2]
+        num_subjects = int(served.meta.get("num_subjects", 1))
+    else:
+        loc = normalize_locations(synthetic_cap_locations(C))
+        model = BrainEncoder(loc=loc, num_subjects=num_subjects, D1=270,
+                             D2=320, F=F, K=32, seq2seq=args.seq2seq)
+        X1 = jnp.asarray(rng.randn(1, C, T), jnp.float32)
+        subs1 = jnp.zeros((1,), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "spatial": jax.random.PRNGKey(1)}, X1, subs1)
 
-    for B in [int(b) for b in args.batches.split(",")]:
-        X = jnp.asarray(rng.randn(B, C, T), jnp.float32)
-        subs = jnp.asarray(rng.randint(0, 27, B))
-        # AOT: trace + lower + compile before the first request
-        compiled = jax.jit(forward).lower(variables, X, subs).compile()
-        np.asarray(compiled(variables, X, subs))  # warmup execution
+        # params are a jit ARGUMENT — closing over them would bake ~40 MB of
+        # weights into the HLO shipped through the remote-compile relay (the
+        # CLAUDE.md "Broken pipe"/HTTP 413 failure mode)
+        def forward(v, X, subs):
+            return model.apply(v, X, subs, train=False)
+
+    def time_calls(call, warm_args):
+        np.asarray(call(*warm_args))[:1]  # warmup/compile
         lat = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = compiled(variables, X, subs)
-            np.asarray(out[:1, :1])  # force completion (serving = sync reply)
+            out = call(*warm_args)
+            np.asarray(out)[:1, :1]  # force completion (serving = sync reply)
             lat.append(time.perf_counter() - t0)
-        lat_ms = np.array(lat) * 1e3
+        return np.array(lat) * 1e3
+
+    for B in [int(b) for b in args.batches.split(",")]:
+        X = jnp.asarray(rng.randn(B, C, T), jnp.float32)
+        subs = jnp.asarray(rng.randint(0, num_subjects, B), jnp.int32)
+        row = {"batch": B}
+        if served is None:
+            # AOT: trace + lower + compile before the first request
+            compiled = jax.jit(forward).lower(variables, X, subs).compile()
+            lat_ms = time_calls(lambda x, s: compiled(variables, x, s),
+                                (X, subs))
+        else:
+            lat_ms = time_calls(served, (X, subs))
+            row["source"] = "artifact"
         # shared-chip relay: report percentiles over many one-request windows
-        print(json.dumps({
-            "batch": B,
+        row.update({
             "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
             "p90_ms": round(float(np.percentile(lat_ms, 90)), 3),
             "best_ms": round(float(lat_ms.min()), 3),
             "samples_per_sec_at_p50": round(
                 B / float(np.percentile(lat_ms, 50)) * 1e3, 1),
-        }))
+        })
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
