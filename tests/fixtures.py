@@ -49,13 +49,18 @@ def make_god_fixture(root, num_channels=12, num_roi=8, fs=200.0,
                     1e-12 * np.outer(np.sin(np.arange(num_channels) * lab),
                                      np.ones(int(0.3 * fs)))
                 )
-            events = np.empty((1, 1), dtype=object)
-            # rest-file event struct: [name, ?, ?, onsets]
-            ev = np.empty((1, 4), dtype=object)
-            ev[0, 0] = np.array(["visual"], dtype=object)
-            ev[0, 1] = np.array([[0]])
-            ev[0, 2] = np.array([[0]])
-            ev[0, 3] = np.linspace(1.0, n, 60).reshape(1, -1)
+            # Brainstorm-style Events: a MATLAB STRUCT ARRAY (one record per
+            # event type; the loaders index records by field POSITION —
+            # [0]=label, [3]=times — matching reference load_meg.py:12-31).
+            # A non-visual first record exercises the search loop.
+            ev_dt = np.dtype([("label", object), ("color", object),
+                              ("epochs", object), ("times", object)])
+            ev = np.zeros((1, 2), dtype=ev_dt)
+            ev[0, 0] = (np.array(["motor"]), np.zeros((1, 1)),
+                        np.zeros((1, 1)), np.array([[0.5]]))
+            ev[0, 1] = (np.array(["visual"]), np.zeros((1, 1)),
+                        np.zeros((1, 1)),
+                        np.linspace(1.0, n, 60).reshape(1, -1))
             scipy.io.savemat(os.path.join(root, sub, "mat", f"{split}.mat"),
                              {"F": meg, "Events": ev})
             scipy.io.savemat(os.path.join(root, sub, "labels", f"{split}.mat"),

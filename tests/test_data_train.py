@@ -95,6 +95,19 @@ class TestGODBuilder:
         np.testing.assert_allclose(np.asarray(tr.X).mean(0), 0.0, atol=1e-4)
         assert va.X.shape[1:] == tr.X.shape[1:]
 
+    def test_z_scoring_uses_rest_baseline(self, god_cfg):
+        """``z_scoring: true`` (the shipped config_GOD.yaml default) must
+        z-score each session's MEG by the rest-period per-channel mean/std
+        (get_baseline on the Brainstorm Events struct array — reference
+        load_meg.py:12-31); the scaled data differs from the raw build and
+        stays finite (rest std > 0 in the fixture)."""
+        raw = build_god_dataset(god_cfg, "train")
+        cfg = Config({**{k: v for k, v in god_cfg.items()}, "z_scoring": True})
+        zs = build_god_dataset(cfg, "train")
+        assert zs.X.shape == raw.X.shape
+        assert np.all(np.isfinite(np.asarray(zs.X)))
+        assert not np.allclose(np.asarray(zs.X), np.asarray(raw.X))
+
     def test_val_averages_same_image_subject(self, god_cfg):
         va = build_god_dataset(god_cfg, "val")
         # fixture: 10 unique labels per subject, one epoch each → no reduction,

@@ -42,3 +42,52 @@ class TestNotebookAnalogExamples:
         assert p.returncode == 0, p.stderr[-2000:]
         assert "label-averaged items" in p.stdout
         assert (tmp_path / "cs" / "category_similarity.png").exists()
+
+
+class TestUtilityExamples:
+    """The small analysis utilities (reference examples/ scripts): smoke
+    them end to end on synthetic inputs."""
+
+    def test_view_training_curve(self, tmp_path):
+        import json
+
+        path = tmp_path / "metrics.jsonl"
+        with open(path, "w") as f:
+            for e in range(3):
+                f.write(json.dumps({"epoch": e, "train_loss": 3.0 - e,
+                                    "test_top10": 0.1 * e,
+                                    "train_temp": 5.1}) + "\n")
+        out = str(tmp_path / "curves.png")
+        p = _run("view_training_curve.py", str(path), out, cwd=str(tmp_path))
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert os.path.exists(out)
+
+    def test_calc_correcoeff(self, tmp_path):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        d = tmp_path / "inference"
+        d.mkdir()
+        Y = rng.randn(20, 16).astype(np.float32)
+        np.save(d / "Y_test.npy", Y)
+        np.save(d / "Z_test.npy", Y)  # perfect predictions
+        p = _run("calc_correcoeff.py", str(d), cwd=str(tmp_path))
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "mean per-sample corr 1.0000" in p.stdout
+        assert "mean per-unit corr  1.0000" in p.stdout
+
+    def test_rest(self, tmp_path):
+        import yaml
+
+        from meg_decoding_tpu.core.config import to_dict
+        from tests.fixtures import make_god_fixture
+
+        cfg = make_god_fixture(str(tmp_path / "d"), subjects=("sbj01",))
+        conf = tmp_path / "conf"
+        conf.mkdir()
+        with open(conf / "config_GOD.yaml", "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+        p = _run("rest.py", "--config-path", str(conf),
+                 "--config-name", "config_GOD", cwd=str(tmp_path))
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "sbj01/" in p.stdout and "mean" in p.stdout
