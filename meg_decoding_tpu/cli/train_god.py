@@ -52,6 +52,7 @@ def _loss_config(cfg) -> LossConfig:
         criterion=cfg.get("criterion", "crossentropy"),
         smooth_value=float(cfg.get("smooth_value", 0.1)),
         label_offset=1,  # GOD vec_index is 1-indexed (loss.py:191)
+        temp_trainable=bool(cfg.get("temp_trainable", True)),
     )
 
 

@@ -289,7 +289,8 @@ def run(cfg: Config) -> dict:
         quantile_impl=str(cfg.get("quantile_impl", "auto")),
     )
     loss_cfg = LossConfig(kind=cfg.select("loss.kind", "clip"),
-                          reduction=cfg.get("reduction", "mean"))
+                          reduction=cfg.get("reduction", "mean"),
+                          temp_trainable=bool(cfg.get("temp_trainable", True)))
 
     updates = int(cfg.get("updates", 1200))
     optimizer = make_optimizer(cfg, updates)

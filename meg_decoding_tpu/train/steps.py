@@ -60,6 +60,10 @@ class LossConfig:
     smooth_value: float = 0.1
     label_offset: int = 0           # GOD vec_index is 1-indexed → offset 1
     grad_norms: bool = False        # log global grad norm (vis_grad parity)
+    # temp_trainable: false freezes the CLIP temperature at
+    # init_temperature (reference loss.py:140-143: a requires_grad=False
+    # tensor instead of an nn.Parameter)
+    temp_trainable: bool = True
 
 
 def _l2_penalty(params) -> jnp.ndarray:
@@ -79,6 +83,10 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
     retrieval accuracies computed from each shard's local logit rows inside
     the collective (the multi-chip form of the logits-reuse optimization)."""
     sim = shard_metrics = None
+    if not loss_cfg.temp_trainable:
+        # frozen temperature (reference loss.py:140-143): zero gradient →
+        # Adam leaves the param at init_temperature forever
+        temp = jax.lax.stop_gradient(temp)
     if loss_cfg.kind == "clip":
         if mesh is not None:
             # explicit sharded-CLIP collectives (all-gather embeddings over

@@ -130,6 +130,34 @@ def _toy_sets(n=48, C=6, T=12, F=16, seed=0):
 
 
 class TestTrainLoop:
+    def test_temp_trainable_false_freezes_temperature(self):
+        """``temp_trainable: false`` must leave the CLIP temperature at
+        init_temperature (reference loss.py:140-143 keeps it a
+        requires_grad=False tensor); true (the default) trains it."""
+        import optax
+
+        train_set = _toy_sets()
+        for trainable in (False, True):
+            model = LinearEncoder(scp=True, out_dim=16)
+            optimizer = optax.adam(1e-2)
+            example = train_set.gather(np.arange(16))
+            state = create_train_state(model, optimizer, example,
+                                       jax.random.PRNGKey(0),
+                                       init_temperature=5.1)
+            step = make_train_step(
+                model, optimizer, LossConfig(kind="clip",
+                                             temp_trainable=trainable),
+                CollateConfig(enabled=False), donate=False)
+            for i in range(3):
+                X, Y, subs = train_set.gather(np.arange(i * 16, i * 16 + 16))
+                state, _ = step(state, X, Y, subs)
+            temp = float(state.params["loss"]["temp"])
+            init = float(np.float32(5.1))
+            if trainable:
+                assert temp != init
+            else:
+                assert temp == init  # bit-exact: Adam saw a zero gradient
+
     def test_fit_learns_and_checkpoints(self, tmp_path):
         import optax
 
