@@ -6,6 +6,7 @@ Reference: ``meg_decoding/matlab_utils/utils.py:8-44`` — extracts per-channel
 consume.
 
     python scripts/convert_brainstorm_montage.py channel.mat out_dir/
+    python scripts/convert_brainstorm_montage.py --region region.mat ch_region.json
 """
 
 import json
@@ -44,5 +45,39 @@ def convert(channel_mat: str, out_dir: str, num_channels: int = 203):
     return montage_path, region_path
 
 
+def convert_region_mat(region_mat: str, savefile: str,
+                       expected_total: int | None = None):
+    """Dedicated region .mat → ch_region.json (reference
+    ``matlab_utils/utils.py:25-44`` ``create_ch_region_pair``): top-level
+    keys are regions, each a MATLAB struct whose FIELD NAMES are the
+    subregions and whose values list 1-indexed channel ids.  ``convert``
+    above derives regions from the channel file's Comment field instead;
+    this handles the reference's separate region file schema."""
+    data = scipy.io.loadmat(region_mat)
+    region_ch, all_ch = {}, []
+    for k in data.keys():
+        if "__" in k:
+            continue
+        region_ch[k] = {}
+        rec = data[k][0]
+        for i, sub_region in enumerate(rec.dtype.names):
+            ch = [int(c) for c in np.asarray(rec[0][i]).reshape(-1)
+                  .astype(np.int64)]
+            region_ch[k][sub_region] = ch
+            all_ch += ch
+    assert len(all_ch) == len(np.unique(all_ch)), "channel listed twice"
+    if expected_total is not None:
+        assert len(all_ch) == expected_total, (len(all_ch), expected_total)
+    with open(savefile, "w") as f:
+        json.dump(region_ch, f, indent=4)
+    print(f"wrote {savefile} ({len(all_ch)} region-assigned channels)")
+    return region_ch
+
+
 if __name__ == "__main__":
-    convert(sys.argv[1], sys.argv[2])
+    # --region <region.mat> <out.json> | <channel.mat> <out_dir>
+    if "--region" in sys.argv:
+        argv = [a for a in sys.argv[1:] if a != "--region"]
+        convert_region_mat(argv[0], argv[1])
+    else:
+        convert(sys.argv[1], sys.argv[2])

@@ -156,3 +156,53 @@ class TestDPSetup:
         # disabled by config
         mesh2, s2, r2 = setup_data_parallel(Config({"data_parallel": False}))
         assert mesh2 is None and s2 is None
+
+
+class TestBrainstormConverters:
+    """scripts/convert_brainstorm_montage.py — reference
+    matlab_utils/utils.py:8-44 (create_montage / create_ch_region_pair)."""
+
+    def test_channel_mat_to_montage_and_regions(self, tmp_path):
+        import scipy.io
+
+        from scripts.convert_brainstorm_montage import convert
+
+        n = 6
+        dt = np.dtype([("Name", object), ("Comment", object),
+                       ("Type", object), ("Group", object), ("Loc", object)])
+        chans = np.zeros((1, n), dtype=dt)
+        rng = np.random.RandomState(0)
+        sides = ["Left", "Right"]
+        for i in range(n):
+            chans[0, i] = (f"MEG{i:03d}", f"Occipital {sides[i % 2]}",
+                           "MEG", "", rng.rand(3, 8))
+        p = tmp_path / "channel.mat"
+        scipy.io.savemat(p, {"Channel": chans})
+        montage_path, region_path = convert(str(p), str(tmp_path / "out"),
+                                            num_channels=n)
+        locs = np.loadtxt(montage_path, delimiter=",")
+        assert locs.shape == (n, 3)
+        import json
+
+        regions = json.load(open(region_path))
+        assert set(regions["occipital"]) == {"left", "right"}
+        assert sorted(regions["occipital"]["left"]
+                      + regions["occipital"]["right"]) == list(range(1, n + 1))
+
+    def test_region_mat_to_ch_region_json(self, tmp_path):
+        import json
+
+        import scipy.io
+
+        from scripts.convert_brainstorm_montage import convert_region_mat
+
+        p = tmp_path / "region.mat"
+        scipy.io.savemat(p, {
+            "occipital": {"left": np.arange(1, 5, dtype=np.int64),
+                          "right": np.arange(5, 9, dtype=np.int64)},
+            "frontal": {"mid": np.arange(9, 12, dtype=np.int64)}})
+        out = tmp_path / "ch_region.json"
+        convert_region_mat(str(p), str(out), expected_total=11)
+        regions = json.load(open(out))
+        assert regions["occipital"]["left"] == [1, 2, 3, 4]
+        assert regions["frontal"]["mid"] == [9, 10, 11]
