@@ -138,7 +138,32 @@ def main():
                     help="smoke mode: tiny model/batch dims so every bench "
                          "code path executes in seconds on CPU (numbers are "
                          "meaningless; validates the bench itself)")
+    ap.add_argument("--device-timeout", type=int, default=900,
+                    help="seconds to wait for device attach before failing "
+                         "with an error JSON (the axon tunnel hangs forever "
+                         "when down; a bounded failure beats a hung bench)")
     args = ap.parse_args()
+
+    # device-attach guard: probe in a SUBPROCESS with a deadline — importing
+    # jax in-process would hang unrecoverably if the TPU tunnel is down
+    import subprocess
+    import sys
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=args.device_timeout)
+        ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(json.dumps({
+            "metric": "gwilliams_train_samples_per_sec_per_chip",
+            "value": 0.0, "unit": "samples/sec", "vs_baseline": 0.0,
+            "error": f"device attach failed within {args.device_timeout}s "
+                     "(axon tunnel down?)"}))
+        raise SystemExit(1)
 
     import jax
 
