@@ -16,4 +16,4 @@ CLIP-style contrastive alignment), designed TPU-first:
 * parallel: explicit shard_map collectives (sharded CLIP all-gather).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml [project] version

@@ -51,6 +51,12 @@ ARTIFACT_WEIGHTS = "weights.msgpack"
 ARTIFACT_META = "meta.json"
 
 
+def _package_version() -> str:
+    import meg_decoding_tpu
+
+    return getattr(meg_decoding_tpu, "__version__", "unknown")
+
+
 def make_serving_forward(model, collate_cfg=None):
     """The deployable forward: optional collate chain + eval-mode encoder.
 
@@ -129,6 +135,7 @@ def save_artifact(out_dir: str, model, params, batch_stats,
             "clamp": bool(collate_cfg.clamp),
         },
         "model": type(model).__name__,
+        "framework_version": _package_version(),
     }
     meta.update(extra_meta or {})
     with open(os.path.join(out_dir, ARTIFACT_META), "w") as f:
