@@ -23,7 +23,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["state_dict_to_numpy", "brain_encoder_from_state_dict",
-           "linear_encoder_from_state_dict", "load_torch_checkpoint"]
+           "eegnet_from_state_dict", "linear_encoder_from_state_dict",
+           "load_torch_checkpoint"]
 
 
 def load_torch_checkpoint(path: str) -> dict:
@@ -118,6 +119,54 @@ def brain_encoder_from_state_dict(sd: dict, num_blocks: int = 5):
         params[f"conv{k}"] = blk
         batch_stats[f"conv{k}"] = blk_stats
     return params, batch_stats
+
+
+def eegnet_from_state_dict(sd: dict):
+    """Reference EEGNet (``models.py:32-94``) state_dict →
+    ``(params, batch_stats)`` for ``models/eegnet.py:EEGNet``.
+
+    The reference wraps stages in ``nn.Sequential`` so keys are positional
+    (``conv1.0`` = conv, ``conv1.1`` = BN; ``conv3.0/1/2`` = depthwise /
+    pointwise / BN).  Two layout conversions:
+
+    * Conv2d weights (out, in/g, kh, kw) → flax (kh, kw, in/g, out);
+    * the classifier: the reference flattens NCHW (``x.view(-1, n_dim)``,
+      index = c·W + w after the height collapses to 1) while the flax model
+      flattens NHWC (index = w·C + c) — the classifier weight COLUMNS are
+      permuted accordingly, so the imported head is bit-equivalent, not
+      just shape-compatible.
+    """
+    f32 = np.float32
+
+    def k4(w):
+        return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))).astype(f32)
+
+    def bn(prefix):
+        p = {"scale": np.asarray(sd[f"{prefix}.weight"], f32),
+             "bias": np.asarray(sd[f"{prefix}.bias"], f32)}
+        s = {"mean": np.asarray(sd[f"{prefix}.running_mean"], f32),
+             "var": np.asarray(sd[f"{prefix}.running_var"], f32)}
+        return p, s
+
+    bn1p, bn1s = bn("conv1.1")
+    bn2p, bn2s = bn("conv2.1")
+    bn3p, bn3s = bn("conv3.2")
+    W = np.asarray(sd["classifier.weight"], f32)         # (out, C·W') NCHW-flat
+    F2 = int(np.asarray(sd["conv3.1.weight"]).shape[0])  # pointwise out = C
+    Wp = W.shape[1] // F2
+    w_nhwc = W.reshape(-1, F2, Wp).transpose(0, 2, 1).reshape(W.shape[0], -1)
+    params = {
+        "conv1": {"kernel": k4(sd["conv1.0.weight"])},
+        "bn1": bn1p,
+        "conv2": {"kernel": k4(sd["conv2.0.weight"])},
+        "bn2": bn2p,
+        "conv3_dw": {"kernel": k4(sd["conv3.0.weight"])},
+        "conv3_pw": {"kernel": k4(sd["conv3.1.weight"])},
+        "bn3": bn3p,
+        "classifier": {"kernel": np.ascontiguousarray(w_nhwc.T),
+                       "bias": np.asarray(sd["classifier.bias"], f32)},
+    }
+    return params, {"bn1": bn1s, "bn2": bn2s, "bn3": bn3s}
 
 
 def linear_encoder_from_state_dict(sd: dict):

@@ -35,6 +35,7 @@ def run(torch_ckpt: str, cfg) -> str:
     from meg_decoding_tpu.train.state import create_train_state
     from meg_decoding_tpu.utils.torch_import import (
         brain_encoder_from_state_dict,
+        eegnet_from_state_dict,
         linear_encoder_from_state_dict,
         load_torch_checkpoint,
     )
@@ -51,6 +52,8 @@ def run(torch_ckpt: str, cfg) -> str:
     name = cfg.get("model", "brain_encoder")
     if name == "linear":
         imported_params, imported_stats = linear_encoder_from_state_dict(sd)
+    elif name.startswith("eegnet"):
+        imported_params, imported_stats = eegnet_from_state_dict(sd)
     else:
         imported_params, imported_stats = brain_encoder_from_state_dict(sd)
 

@@ -135,3 +135,69 @@ def test_linear_encoder_import():
     np.testing.assert_allclose(
         np.asarray(out),
         np.asarray(model.apply(variables, jnp.asarray(X))), rtol=1e-6)
+
+
+class TestEEGNetImport:
+    def test_reference_sequential_state_dict_forward_matches(self):
+        """Build the reference's EXACT EEGNet module structure
+        (models.py:32-94: positional nn.Sequential stages, NCHW flatten),
+        randomize it, import its state_dict, and require forward agreement
+        — this certifies the classifier's NCHW→NHWC column permutation, not
+        just shape compatibility."""
+        import torch.nn as nn
+
+        from meg_decoding_tpu.models.eegnet import EEGNet
+        from meg_decoding_tpu.utils.torch_import import (
+            eegnet_from_state_dict,
+        )
+
+        C_, T_, B_ = 16, 64, 6
+        F1, D, F2, k1, k2, p1, p2, out = 4, 2, 8, 10, 4, 2, 4, 32
+
+        class RefEEGNet(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Sequential(
+                    nn.Conv2d(1, F1, (1, k1), padding="same", bias=False),
+                    nn.BatchNorm2d(F1))
+                self.conv2 = nn.Sequential(
+                    nn.Conv2d(F1, D * F1, (C_, 1), groups=F1, bias=False),
+                    nn.BatchNorm2d(D * F1), nn.ELU(),
+                    nn.AvgPool2d((1, p1)), nn.Dropout(0.0))
+                self.conv3 = nn.Sequential(
+                    nn.Conv2d(D * F1, D * F1, (1, k2), padding="same",
+                              groups=D * F1, bias=False),
+                    nn.Conv2d(D * F1, F2, (1, 1), bias=False),
+                    nn.BatchNorm2d(F2), nn.ELU(),
+                    nn.AvgPool2d((1, p2)), nn.Dropout(0.0))
+                n_dim = F2 * (T_ // p1 // p2)
+                self.classifier = nn.Linear(n_dim, out, bias=True)
+
+            def forward(self, x):
+                x = x.unsqueeze(1)
+                x = self.conv3(self.conv2(self.conv1(x)))
+                return self.classifier(x.view(len(x), -1))  # NCHW flatten
+
+        torch.manual_seed(0)
+        tm = RefEEGNet()
+        # non-trivial running stats so their import is load-bearing
+        with torch.no_grad():
+            for m in tm.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                    m.running_var.copy_(1.0 + torch.rand_like(m.running_var))
+        tm.eval()
+
+        from meg_decoding_tpu.utils.torch_import import state_dict_to_numpy
+
+        params, stats = eegnet_from_state_dict(
+            state_dict_to_numpy(tm.state_dict()))
+        model = EEGNet(num_channels=C_, T=T_, F1=F1, D=D, F2=F2, k1=k1,
+                       k2=k2, p1=p1, p2=p2, out_dim=out)
+        rng = np.random.RandomState(3)
+        X = rng.randn(B_, C_, T_).astype(np.float32)
+        Z = np.asarray(model.apply({"params": params, "batch_stats": stats},
+                                   jnp.asarray(X), train=False))
+        with torch.no_grad():
+            Zt = tm(torch.tensor(X)).numpy()
+        np.testing.assert_allclose(Z, Zt, rtol=1e-4, atol=1e-4)
