@@ -76,12 +76,16 @@ def main():
             return model.apply(v, X, subs, train=False)
 
     def time_calls(call, warm_args):
-        np.asarray(call(*warm_args))[:1]  # warmup/compile
+        np.asarray(call(*warm_args)[:1, :1])  # warmup/compile
         lat = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             out = call(*warm_args)
-            np.asarray(out)[:1, :1]  # force completion (serving = sync reply)
+            # force completion with a ONE-element readback (serving = sync
+            # reply): slicing on device first keeps the host transfer tiny —
+            # np.asarray(out) would pull the whole (B, F[, T]) output through
+            # the relay and time the transfer, not the model
+            np.asarray(out[:1, :1])
             lat.append(time.perf_counter() - t0)
         return np.array(lat) * 1e3
 

@@ -87,16 +87,9 @@ def run(cfg: Config) -> str:
 
 
 def main(argv=None):
-    from meg_decoding_tpu.cli.main import parse_cli
+    from meg_decoding_tpu.cli.main import parse_cli_auto
 
-    import sys as _sys
-
-    argv = list(_sys.argv[1:] if argv is None else argv)
-    overrides = dict(a.split("=", 1) for a in argv
-                     if "=" in a and not a.startswith("--"))
-    god = overrides.get("dataset") == "GOD"
-    cfg = parse_cli(argv, default_config_name="config_GOD" if god else "config")
-    return run(cfg)
+    return run(parse_cli_auto(argv))
 
 
 if __name__ == "__main__":

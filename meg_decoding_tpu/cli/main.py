@@ -53,24 +53,47 @@ def parse_cli(argv=None, default_config_name: str = "config") -> Config:
     return cfg
 
 
-def train_main(argv=None):
-    """Console entry: dispatch to the GOD or speech trainer by ``dataset=``
-    (the logic of the repo-root ``train.py``, packaged for ``pip install``:
-    ``meg-decode-train dataset=GOD epochs=10``)."""
+def parse_cli_auto(argv=None, default_config_name: str = "config"):
+    """``parse_cli`` that picks the default config FILE from a ``dataset=``
+    override before composing — ``config.yaml`` for the speech datasets,
+    ``config_GOD.yaml`` for GOD — so ``meg-decode-train dataset=GOD``
+    composes the GOD defaults without an explicit ``--config-name``.
+    (One implementation for every entry point: train/evaluate console
+    scripts, the export CLI, and the torch-checkpoint importer.)"""
     import sys as _sys
 
     argv = list(_sys.argv[1:] if argv is None else argv)
     overrides = dict(a.split("=", 1) for a in argv
                      if "=" in a and not a.startswith("--"))
-    god = overrides.get("dataset") == "GOD"
-    cfg = parse_cli(argv, default_config_name="config_GOD" if god else "config")
+    ds = overrides.get("dataset")
+    if ds == "GOD":
+        name = "config_GOD"
+    elif ds in ("Gwilliams2022", "Brennan2018"):
+        name = "config"
+    else:
+        name = default_config_name
+    return parse_cli(argv, default_config_name=name)
+
+
+def dispatch_train(cfg):
+    """Select the GOD or speech trainer by ``cfg.dataset`` — the dispatch of
+    the reference's ``train.py run(args)`` (train.py:28-58 picks the dataset
+    class from ``args.dataset``); the repo-root ``train.py`` wraps this."""
     if cfg.dataset == "GOD":
         from meg_decoding_tpu.cli.train_god import run as _run
     elif cfg.dataset in ("Gwilliams2022", "Brennan2018"):
         from meg_decoding_tpu.cli.train_speech import run as _run
     else:
-        raise SystemExit(f"unknown dataset {cfg.dataset!r}")
-    best = _run(cfg)
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    return _run(cfg)
+
+
+def train_main(argv=None):
+    """Console entry: dispatch to the GOD or speech trainer by ``dataset=``
+    (the logic of the repo-root ``train.py``, packaged for ``pip install``:
+    ``meg-decode-train dataset=GOD epochs=10``)."""
+    cfg = parse_cli_auto(argv)
+    best = dispatch_train(cfg)
     print("best:", best)
     return best
 
@@ -78,13 +101,7 @@ def train_main(argv=None):
 def evaluate_main(argv=None):
     """Console entry: dispatch to the GOD or speech evaluator (repo-root
     ``evaluate.py`` logic, packaged)."""
-    import sys as _sys
-
-    argv = list(_sys.argv[1:] if argv is None else argv)
-    overrides = dict(a.split("=", 1) for a in argv
-                     if "=" in a and not a.startswith("--"))
-    speech = overrides.get("dataset") in ("Gwilliams2022", "Brennan2018")
-    cfg = parse_cli(argv, default_config_name="config" if speech else "config_GOD")
+    cfg = parse_cli_auto(argv, default_config_name="config_GOD")
     if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
         from meg_decoding_tpu.cli.evaluate_speech import run as _run
     else:

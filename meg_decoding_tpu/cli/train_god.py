@@ -121,12 +121,13 @@ def run(cfg: Config) -> dict:
     state = replicate_fn(state)
 
     # mesh engages the explicit sharded-CLIP collectives in the per-step
-    # trainer too (the scan path below already passes it) — clip-kind only;
-    # the gallery-classification losses are replicated-gallery ops that XLA
-    # auto-spmd partitions fine
+    # trainer too (the scan path below already passes it).  Non-clip losses
+    # ignore it in _compute_loss (replicated-gallery ops that auto-spmd
+    # partitions fine) but still need it for the sharding-safe quantile
+    # impl in the collate — the Pallas kernel has no partitioning rule.
     train_step = make_train_step(model, optimizer, loss_cfg, collate_cfg,
                                  gallery=gallery, gallery_self_sim=gallery_self_sim,
-                                 mesh=mesh if loss_cfg.kind == "clip" else None)
+                                 mesh=mesh)
     eval_step = make_eval_step(model, loss_cfg, collate_cfg,
                                gallery=gallery, gallery_self_sim=gallery_self_sim,
                                mesh=mesh)

@@ -87,18 +87,27 @@ class _SpeechLoader:
             key = jax.random.fold_in(self.base_key, self._n_calls)
             self._n_calls += 1
         if isinstance(self.ds, GwilliamsPacked):
-            if (self.mesh is not None
-                    and len(idx) % self.mesh.shape["data"] == 0):
+            if self.mesh is not None:
                 n_dev = self.mesh.shape["data"]
+                # a non-divisible batch (tiny test pool / direct call) is
+                # padded cyclically to the next multiple and trimmed after:
+                # falling back to a plain gather on the session-sharded
+                # recordings would transiently all-gather the full ~9.3 GB
+                # pack onto every chip (see _gather_sharded)
+                n = len(idx)
+                pad = (-n) % n_dev
+                idx_p = (np.resize(np.asarray(idx), n + pad) if pad
+                         else np.asarray(idx))
                 if self.ds.host_resident:
                     # spilled data can't be gathered in shard_map, but the
                     # session draw still emulates the sharded device run's
                     # (device_major_sessions) so a spill run logs exactly
                     # what the HBM run logs
-                    X, Y, subs, _ = gather_speech_batch(self.ds, idx, key,
+                    X, Y, subs, _ = gather_speech_batch(self.ds, idx_p, key,
                                                         device_major=n_dev)
-                    return X, Y, subs
-                return self._gather_sharded(idx, key)
+                else:
+                    X, Y, subs = self._gather_sharded(idx_p, key)
+                return (X[:n], Y[:n], subs[:n]) if pad else (X, Y, subs)
             X, Y, subs, seg_ids = gather_speech_batch(self.ds, idx, key)
             return X, Y, subs
         # Brennan: random subject per chunk
@@ -115,8 +124,9 @@ class _SpeechLoader:
         exists to avoid.  Sessions are drawn per device from its own shard
         (distribution-identical with equal shards; PARITY.md deviation 11),
         matching the fused/scan train paths.  Batch size must divide the
-        data-axis size (fit/fit_scan round pool sizes via batch_multiple;
-        non-divisible direct calls fall back to the replicating path)."""
+        data-axis size — ``gather`` pads non-divisible index sets
+        cyclically and trims the result, so no caller ever reaches the
+        replicating plain-jit gather on sharded recordings."""
         if self._sharded_gather is None:
             from meg_decoding_tpu.train.scan_loop import _make_sharded_gather
 
@@ -256,13 +266,20 @@ def run(cfg: Config) -> dict:
         from meg_decoding_tpu.data.gwilliams import to_host
 
         # check sharing BEFORE reassigning: shallow-split loaders wrap the
-        # SAME packed object, and spilling it twice would pull the multi-GB
-        # recordings device→host twice and hold two host copies
+        # SAME packed object, and sentence/deep splits alias the multi-GB
+        # recordings/y_stream buffers across DISTINCT packed objects
+        # (build_gwilliams_dataset) — spill through one id-keyed buffer
+        # cache so each device buffer is pulled host-side exactly once
         shared = test_set.ds is train_set.ds
-        spill = (to_host if isinstance(train_set.ds, GwilliamsPacked)
+        buf_cache = {}
+        spill = ((lambda d: to_host(d, buf_cache))
+                 if isinstance(train_set.ds, GwilliamsPacked)
                  else lambda d: d.to_host())
-        train_set.ds = spill(train_set.ds)
-        test_set.ds = train_set.ds if shared else spill(test_set.ds)
+        # spill BOTH before reassigning either: the cache keys are id()s of
+        # the live device buffers, which train_set.ds keeps alive meanwhile
+        train_host = spill(train_set.ds)
+        test_host = train_host if shared else spill(test_set.ds)
+        train_set.ds, test_set.ds = train_host, test_host
         cfg.fuse_gather = False
         cfg.use_scan_epochs = False
 

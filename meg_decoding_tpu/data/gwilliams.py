@@ -482,22 +482,40 @@ def gather_speech_batch(ds: GwilliamsPacked, segment_ids: np.ndarray, key,
     return X, Y, subs, jnp.asarray(segment_ids)
 
 
-def to_host(ds: GwilliamsPacked) -> GwilliamsPacked:
+def to_host(ds: GwilliamsPacked, buffer_cache: dict | None = None) -> GwilliamsPacked:
     """Spill the packed arrays to host RAM (numpy): the flagship-dataset
     variant of ``PackedDataset.to_host`` for deployments whose recordings
     exceed HBM.  Batches are then sliced on host (``gather_speech_batch``
     detects the numpy arrays) and streamed through the prefetch pipeline
     (``data/prefetch.py``; ``host_resident: true`` + ``prefetch: N`` on the
-    speech trainer)."""
+    speech trainer).
+
+    ``buffer_cache`` (optional ``id(device buffer) → host array`` dict):
+    pass the SAME dict when spilling two packs that alias device buffers
+    (sentence/deep splits share recordings/y_stream across distinct objects,
+    ``build_gwilliams_dataset``) so each ~GB buffer is pulled device→host
+    once and the host copy stays shared.  Keep every source pack referenced
+    until all spills through one cache are done — the keys are ``id()``s of
+    the live device buffers."""
     import dataclasses
+
+    cache = {} if buffer_cache is None else buffer_cache
+
+    def pull(a):
+        if isinstance(a, np.ndarray):
+            return a
+        k = id(a)
+        if k not in cache:
+            cache[k] = np.asarray(a)
+        return cache[k]
 
     return dataclasses.replace(
         ds,
-        recordings=np.asarray(ds.recordings),
-        y_stream=np.asarray(ds.y_stream),
-        meg_onsets=np.asarray(ds.meg_onsets),
-        speech_onsets=np.asarray(ds.speech_onsets),
-        session_subject=np.asarray(ds.session_subject),
+        recordings=pull(ds.recordings),
+        y_stream=pull(ds.y_stream),
+        meg_onsets=pull(ds.meg_onsets),
+        speech_onsets=pull(ds.speech_onsets),
+        session_subject=pull(ds.session_subject),
     )
 
 

@@ -27,12 +27,24 @@ __all__ = ["state_dict_to_numpy", "brain_encoder_from_state_dict",
            "load_torch_checkpoint"]
 
 
-def load_torch_checkpoint(path: str) -> dict:
+def load_torch_checkpoint(path: str, allow_pickle: bool = False) -> dict:
     """``torch.load`` a reference checkpoint → ``{name: np.ndarray}``.
-    (The only torch use in the package; import stays local.)"""
+    (The only torch use in the package; import stays local.)
+
+    ``weights_only=True`` by default: a plain ``state_dict`` (what the
+    reference trainers save, ``train.py:274``) loads without unpickling
+    arbitrary code.  A checkpoint holding a whole pickled ``nn.Module``
+    (``torch.save(model, ...)``) cannot — pass ``allow_pickle=True`` to
+    retry with full unpickling IF you trust the file (it executes the
+    pickle's code), and the module's ``state_dict()`` is then extracted."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):  # a whole module was saved
         sd = sd.state_dict()
     return state_dict_to_numpy(sd)

@@ -48,7 +48,11 @@ def run(torch_ckpt: str, cfg) -> str:
     loc = ch_locations_2d(cfg)
     model = get_model(cfg, loc=loc, num_channels=num_channels)
 
-    sd = load_torch_checkpoint(torch_ckpt)
+    # --allow-pickle: a checkpoint holding a whole pickled nn.Module (the
+    # torch.save(model, ...) form) needs full unpickling — opt-in only,
+    # because unpickling executes code from the file
+    sd = load_torch_checkpoint(
+        torch_ckpt, allow_pickle=bool(cfg.get("allow_pickle", False)))
     name = cfg.get("model", "brain_encoder")
     if name == "linear":
         imported_params, imported_stats = linear_encoder_from_state_dict(sd)
@@ -84,17 +88,13 @@ def run(torch_ckpt: str, cfg) -> str:
 
 
 def main(argv=None):
-    from meg_decoding_tpu.cli.main import parse_cli
+    from meg_decoding_tpu.cli.main import parse_cli_auto
 
     argv = list(sys.argv[1:] if argv is None else argv)
     ckpts = [a for a in argv if a.endswith((".pt", ".pth"))]
     assert len(ckpts) == 1, "pass exactly one torch checkpoint (.pt/.pth)"
     rest = [a for a in argv if a not in ckpts]
-    overrides = dict(a.split("=", 1) for a in rest
-                     if "=" in a and not a.startswith("--"))
-    god = overrides.get("dataset") == "GOD"
-    cfg = parse_cli(rest, default_config_name="config_GOD" if god else "config")
-    return run(ckpts[0], cfg)
+    return run(ckpts[0], parse_cli_auto(rest))
 
 
 if __name__ == "__main__":

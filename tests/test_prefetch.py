@@ -123,6 +123,36 @@ class TestHostResidentSpeech:
         np.testing.assert_array_equal(np.asarray(Yd), Yh)
         np.testing.assert_array_equal(np.asarray(sd), sh)
 
+    def test_spill_dedupes_aliased_split_buffers(self, tmp_path):
+        """Sentence/deep splits alias ONE recordings/y_stream device buffer
+        across two packed objects (build_gwilliams_dataset); spilling both
+        through a shared buffer_cache must pull each device buffer
+        host-side ONCE and keep the host copies shared — otherwise
+        host_resident doubles its host RAM (and device→host traffic) in
+        exactly the full-scale configuration it exists for."""
+        from tests.fixtures import make_gwilliams_cache
+        from meg_decoding_tpu.data.gwilliams import (
+            build_gwilliams_dataset,
+            load_gwilliams_cache,
+            to_host,
+        )
+
+        cache = str(tmp_path / "cache")
+        cfg = make_gwilliams_cache(cache)
+        train, test = build_gwilliams_dataset(
+            cfg, *load_gwilliams_cache(cache), split_mode="sentence")
+        assert train.recordings is test.recordings  # the aliasing contract
+        buf_cache = {}
+        train_h = to_host(train, buf_cache)
+        test_h = to_host(test, buf_cache)
+        assert train_h.recordings is test_h.recordings
+        assert train_h.y_stream is test_h.y_stream
+        assert train_h.session_subject is test_h.session_subject
+        # per-split onset tables stay distinct
+        assert train_h.meg_onsets is not test_h.meg_onsets
+        np.testing.assert_array_equal(train_h.recordings,
+                                      np.asarray(train.recordings))
+
     def test_speech_trainer_spill_matches_device_run(self, tmp_path):
         """Gwilliams trainer with host_resident: true streams numpy windows
         through the prefetch pipeline and logs the same metrics as the

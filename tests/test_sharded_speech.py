@@ -432,9 +432,12 @@ class TestShardedEvalGather:
         np.testing.assert_array_equal(np.asarray(Yd), Yh)
         np.testing.assert_array_equal(np.asarray(sd), sh)
 
-    def test_loader_falls_back_on_indivisible_batch(self, packed, mesh):
-        """A batch that doesn't divide the data axis (tiny direct calls)
-        falls back to the replicating path instead of failing."""
+    def test_loader_pads_indivisible_batch_per_shard(self, packed, mesh):
+        """A batch that doesn't divide the data axis (tiny test pool /
+        direct calls) is padded cyclically to the next multiple and trimmed
+        — it must STAY on the per-shard gather path (the old fallback was a
+        plain gather on the sharded recordings, which transiently
+        all-gathers the full ~9.3 GB pack onto every chip at scale)."""
         from meg_decoding_tpu.cli.train_speech import _SpeechLoader
         from meg_decoding_tpu.train.scan_loop import shard_gwilliams_splits
 
@@ -443,8 +446,49 @@ class TestShardedEvalGather:
         loader = _SpeechLoader(te_s, seed=3)
         loader.mesh = mesh
         n = min(B + 1, len(te_s))
-        X, Y, subs = loader.gather(np.arange(n), key=jax.random.PRNGKey(2))
+        idx = np.arange(n)
+        key = jax.random.PRNGKey(2)
+        X, Y, subs = loader.gather(idx, key=key)
         assert X.shape[0] == n and Y.shape[0] == n and subs.shape[0] == n
+
+        # oracle: the padded device-major draw, single-device gather, trimmed
+        n_p = -(-n // N_DEV) * N_DEV
+        idx_p = np.resize(idx, n_p)
+        te_p = pad_sessions(test, N_DEV)
+        sess = _emulated_sessions(key, N_DEV, te_p.recordings.shape[0], n_p)
+        seg = jnp.asarray(te_p.segment_table())[jnp.asarray(idx_p)]
+        Xr, Yr, sr = _gather_batch(
+            te_p.recordings, te_p.y_stream, te_p.meg_onsets,
+            te_p.speech_onsets, te_p.session_subject,
+            seg[:, 0], seg[:, 1], sess, te_p.seq_len)
+        np.testing.assert_array_equal(np.asarray(X), np.asarray(Xr)[:n])
+        np.testing.assert_array_equal(np.asarray(Y), np.asarray(Yr)[:n])
+        np.testing.assert_array_equal(np.asarray(subs), np.asarray(sr)[:n])
+
+    def test_spilled_loader_pads_indivisible_batch(self, packed, mesh):
+        """The host-resident loader under a mesh pads indivisible batches
+        the same way, so spill runs keep the drop-in contract at any pool
+        size."""
+        from meg_decoding_tpu.cli.train_speech import _SpeechLoader
+        from meg_decoding_tpu.data.gwilliams import (
+            gather_speech_batch,
+            to_host,
+        )
+
+        _, train, test = packed
+        loader = _SpeechLoader(to_host(test), seed=3)
+        loader.mesh = mesh
+        n = min(B + 1, len(test))
+        idx = np.arange(n)
+        key = jax.random.PRNGKey(2)
+        Xh, Yh, sh = loader.gather(idx, key=key)
+        assert isinstance(Xh, np.ndarray) and Xh.shape[0] == n
+        n_p = -(-n // N_DEV) * N_DEV
+        Xr, Yr, sr, _ = gather_speech_batch(
+            loader.ds, np.resize(idx, n_p), key, device_major=N_DEV)
+        np.testing.assert_array_equal(Xh, Xr[:n])
+        np.testing.assert_array_equal(Yh, Yr[:n])
+        np.testing.assert_array_equal(sh, sr[:n])
 
 
 class TestHostResidentUnderMesh:

@@ -14,15 +14,12 @@ import sys
 
 
 def run(cfg):
-    if cfg.dataset == "GOD":
-        from meg_decoding_tpu.cli.train_god import run as run_god
+    """Programmatic form of the reference's ``run(args)`` (train.py:28):
+    train on an already-composed config.  One implementation, shared with
+    the ``meg-decode-train`` console script."""
+    from meg_decoding_tpu.cli.main import dispatch_train
 
-        return run_god(cfg)
-    if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
-        from meg_decoding_tpu.cli.train_speech import run as run_speech
-
-        return run_speech(cfg)
-    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+    return dispatch_train(cfg)
 
 
 if __name__ == "__main__":
