@@ -158,11 +158,19 @@ def main():
     except subprocess.TimeoutExpired:
         ok = False
     if not ok:
-        print(json.dumps({
+        row = {
             "metric": "gwilliams_train_samples_per_sec_per_chip",
             "value": 0.0, "unit": "samples/sec", "vs_baseline": 0.0,
             "error": f"device attach failed within {args.device_timeout}s "
-                     "(axon tunnel down?)"}))
+                     "(axon tunnel down?)"}
+        try:  # attach the last good TPU measurement so a transport outage
+            # doesn't read as a perf regression (tools/bench_last_good.json)
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "tools", "bench_last_good.json")) as f:
+                row["last_measured"] = json.load(f)
+        except OSError:
+            pass
+        print(json.dumps(row))
         raise SystemExit(1)
 
     import jax
