@@ -14,6 +14,10 @@ Model dims come from the config exactly as at training time; the optimizer
 state starts fresh (the reference checkpoint carries none) and the CLIP
 temperature starts at ``init_temperature`` — pass the reference's trained
 temperature via ``init_temperature=...`` if it was saved separately.
+
+Checkpoints saved as whole pickled modules (``torch.save(model, ...)``)
+need ``allow_pickle=true`` — unpickling executes code from the file, so
+only pass it for files you trust.
 """
 
 import os
