@@ -65,20 +65,21 @@ def main():
 
     cfg = parse_cli(rest, default_config_name="config_GOD")
     try:
-        # first configured session, reference path layout (data/god.py)
+        # first configured session, reference path layout (data/god.py).
+        # Only the LOADING is guarded — a plotting failure on real data
+        # must surface, not get misreported as "no GOD session loadable"
         from meg_decoding_tpu.data.god import get_meg_data
 
         sub = list(cfg.subjects.keys())[0]
         scfg = cfg.subjects[sub]
         fs = float(scfg["fs"])
         root = cfg.data_root
-        X, _, _, triggers = get_meg_data(
+        X, _, _, onsets = get_meg_data(
             f"{root}/{sub}/mat/{scfg['train']['mat'][0]}",
             f"{root}/{sub}/labels/{scfg['train']['labels'][0]}",
             f"{root}/{sub}/trigger/{scfg['train']['trigger'][0]}",
             num_channels=int(cfg.get("num_meg_channels", 203)),
         )
-        _plot(X, triggers, fs, args.out)
     except Exception as e:  # no GOD data in this deployment: synthetic demo
         print(f"[vis_meg] no GOD session loadable ({type(e).__name__}: {e}); "
               "plotting synthetic data")
@@ -90,7 +91,7 @@ def main():
         for o in onsets:
             i = int(o * fs)
             X[0, i:i + 100] += 3 * np.hanning(100)
-        _plot(X, onsets, fs, args.out)
+    _plot(X, onsets, fs, args.out)
 
 
 if __name__ == "__main__":

@@ -60,9 +60,7 @@ def parse_cli_auto(argv=None, default_config_name: str = "config"):
     composes the GOD defaults without an explicit ``--config-name``.
     (One implementation for every entry point: train/evaluate console
     scripts, the export CLI, and the torch-checkpoint importer.)"""
-    import sys as _sys
-
-    argv = list(_sys.argv[1:] if argv is None else argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
     overrides = dict(a.split("=", 1) for a in argv
                      if "=" in a and not a.startswith("--"))
     ds = overrides.get("dataset")

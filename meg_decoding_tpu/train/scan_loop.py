@@ -181,7 +181,8 @@ def _make_sharded_gather(mesh, seq_len: int, y_dtype=None,
 
 def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
                            collate_cfg: CollateConfig, ds: GwilliamsPacked,
-                           mesh=None, cache_collate_stats: bool = False):
+                           mesh=None, cache_collate_stats: bool = False,
+                           collate_stats=None):
     """Single-dispatch Gwilliams step: the window gather (Pallas DMA kernel)
     and the train step compile into ONE XLA program — saves the per-call
     dispatch round-trip between the two (~2.4 ms on this rig).
@@ -198,6 +199,11 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
     ~5.3 ms/step at B=256 bf16.  Under a mesh the table is session-sharded
     alongside the recordings.
 
+    ``collate_stats``: a table ALREADY computed by ``compute_collate_stats``
+    for this exact dataset/baseline (and, under a mesh, the same session
+    sharding) — reused instead of re-sweeping (the sweep costs ~10 s /
+    ~0.9 GB HBM at full scale); implies ``cache_collate_stats``.
+
     Returns ``fused(state, idx (B,), key) → (state, metrics)``.
     """
     from meg_decoding_tpu.data.gwilliams import compute_collate_stats
@@ -207,13 +213,15 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
                            donate=False, mesh=mesh)
     seq_len = int(ds.seq_len)
     y_dtype = _loss_y_dtype(model, loss_cfg)
-    use_stats = bool(cache_collate_stats) and collate_cfg.enabled
-    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
+    use_stats = ((bool(cache_collate_stats) or collate_stats is not None)
+                 and collate_cfg.enabled)
+    qimpl = collate_cfg.resolve_quantile_impl(mesh)
 
     if mesh is not None:
         ds = _shard_gwilliams(ds, mesh)
-        stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
-                                       impl=qimpl, mesh=mesh)
+        stats = ((collate_stats if collate_stats is not None else
+                  compute_collate_stats(ds, collate_cfg.baseline_len_samp,
+                                        impl=qimpl, mesh=mesh))
                  if use_stats else None)
         sharded_gather = _make_sharded_gather(mesh, seq_len, y_dtype,
                                               with_stats=use_stats)
@@ -251,8 +259,9 @@ def make_fused_speech_step(model, optimizer, loss_cfg: LossConfig,
     n_sessions = int(ds.recordings.shape[0])
     NT, W = int(ds.meg_onsets.shape[1]), int(ds.meg_onsets.shape[2])
     seg_table = jnp.asarray(ds.segment_table())
-    stats = (compute_collate_stats(ds, collate_cfg.baseline_len_samp,
-                                   impl=qimpl)
+    stats = ((collate_stats if collate_stats is not None else
+              compute_collate_stats(ds, collate_cfg.baseline_len_samp,
+                                    impl=qimpl))
              if use_stats else None)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -372,7 +381,7 @@ def make_gwilliams_scan_epoch(model, optimizer, loss_cfg: LossConfig,
     seq_len = int(ds.seq_len)
     y_dtype = _loss_y_dtype(model, loss_cfg)
     use_stats = bool(cache_collate_stats) and collate_cfg.enabled
-    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
+    qimpl = collate_cfg.resolve_quantile_impl(mesh)
     if use_stats:
         # the scan body's step takes the gathered (B, 2·Cp) stats rows as a
         # 4th batch element, routed to the collate_stats kwarg

@@ -49,6 +49,14 @@ class CollateConfig:
     # mesh (no partitioning rule for the Pallas call)
     quantile_impl: str = "auto"
 
+    def resolve_quantile_impl(self, mesh) -> str:
+        """The mesh-safety invariant, in ONE place for every program builder
+        (per-step train/eval, fused step, scan epoch): the Pallas quantile
+        kernel has no GSPMD partitioning rule, so any program traced over a
+        (potentially) batch-sharded x must use the sort percentiles
+        (ops/scaling.py robust_scale docstring)."""
+        return "sort" if mesh is not None else self.quantile_impl
+
 
 @dataclasses.dataclass(frozen=True)
 class LossConfig:
@@ -145,7 +153,7 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     # under a mesh the batch is sharded and traced through auto-spmd, where
     # the Pallas quantile kernel has no partitioning rule — use the sort
     # percentiles there (ops/scaling.py robust_scale docstring)
-    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
+    qimpl = collate_cfg.resolve_quantile_impl(mesh)
 
     def train_step(state: TrainState, X, Y, subject_idxs, labels,
                    gallery, gallery_self_sim, collate_stats):
@@ -257,7 +265,7 @@ def make_eval_step(model, loss_cfg: LossConfig, collate_cfg: CollateConfig,
     jit arguments, not closures (see make_train_step).  ``mesh`` only picks
     the sharding-safe quantile impl for the collate (the loss itself runs
     unsharded on the gathered eval batch)."""
-    qimpl = "sort" if mesh is not None else collate_cfg.quantile_impl
+    qimpl = collate_cfg.resolve_quantile_impl(mesh)
 
     def eval_step(params, batch_stats, X, Y, subject_idxs, labels,
                   gallery, gallery_self_sim):

@@ -95,7 +95,9 @@ def main(argv=None):
     from meg_decoding_tpu.cli.main import parse_cli_auto
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    ckpts = [a for a in argv if a.endswith((".pt", ".pth"))]
+    # bare .pt/.pth tokens only — a key=value override whose VALUE ends in
+    # .pt (e.g. y_embeds_path=embd.pt) is a config override, not a checkpoint
+    ckpts = [a for a in argv if a.endswith((".pt", ".pth")) and "=" not in a]
     assert len(ckpts) == 1, "pass exactly one torch checkpoint (.pt/.pth)"
     rest = [a for a in argv if a not in ckpts]
     return run(ckpts[0], parse_cli_auto(rest))

@@ -201,3 +201,21 @@ class TestEEGNetImport:
         with torch.no_grad():
             Zt = tm(torch.tensor(X)).numpy()
         np.testing.assert_allclose(Z, Zt, rtol=1e-4, atol=1e-4)
+
+
+def test_importer_cli_ignores_pt_valued_overrides(monkeypatch):
+    """A key=value override whose VALUE ends in .pt (e.g. a path config key)
+    must stay a config override — only bare .pt/.pth tokens name the
+    checkpoint (scripts/import_torch_checkpoint.py main)."""
+    import scripts.import_torch_checkpoint as m
+
+    seen = {}
+    monkeypatch.setattr(
+        m, "run",
+        lambda ckpt, cfg: seen.update(ckpt=ckpt,
+                                      y=cfg.get("y_embeds_path"),
+                                      ds=cfg.dataset))
+    m.main(["model_last.pt", "y_embeds_path=embd.pt", "dataset=Brennan2018"])
+    assert seen["ckpt"] == "model_last.pt"
+    assert seen["y"] == "embd.pt"
+    assert seen["ds"] == "Brennan2018"
