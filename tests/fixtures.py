@@ -106,57 +106,15 @@ def make_god_fixture(root, num_channels=12, num_roi=8, fs=200.0,
 def make_gwilliams_cache(cache_dir, n_subjects=2, n_sessions_per=2, C=12,
                          rate=120, rec_sec=30.0, words_per_task=24, F=16,
                          seed=0):
-    """Write a reference-format Gwilliams preprocessed cache with synthetic
-    recordings, embedding streams, and word-onset tables."""
-    rng = np.random.RandomState(seed)
-    os.makedirs(cache_dir, exist_ok=True)
-    T = int(rec_sec * rate)
-    x_dict, meg_onsets, speech_onsets, sentence_idxs, y_dict = {}, {}, {}, {}, {}
-    for t in range(4):
-        task = f"task{t}"
-        onsets = np.sort(rng.uniform(0.5, rec_sec - 4.0, words_per_task))
-        speech_onsets[task] = onsets
-        sentence_idxs[task] = np.repeat(np.arange(words_per_task // 4), 4)[:words_per_task]
-        y_dict[task] = rng.randn(F, T).astype(np.float64)
-    for s in range(n_subjects):
-        for sess in range(n_sessions_per):
-            for t in range(4):
-                key = f"subject{s+1:02d}_sess{sess}_task{t}"
-                # MEG correlated with the task's embedding stream via a
-                # random channel mixer so retrieval is learnable
-                task = f"task{t}"
-                mix = rng.randn(C, F) * 0.5
-                x = mix @ y_dict[task] + 0.1 * rng.randn(C, T)
-                x_dict[key] = x.astype(np.float64)
-                meg_onsets[key] = speech_onsets[task]  # same alignment
-    # a cache-resident sensor layout, as build_gwilliams_cache.py persists
-    # from the first BIDS recording (ch_locations_2d prefers it)
-    from meg_decoding_tpu.data.layout import synthetic_cap_locations
+    """Reference-format synthetic Gwilliams cache — the generator lives in
+    the package (``data/synthetic.py``) so users get the same zero-data
+    quickstart path the tests exercise."""
+    from meg_decoding_tpu.data.synthetic import make_synthetic_gwilliams_cache
 
-    np.save(os.path.join(cache_dir, "layout.npy"),
-            synthetic_cap_locations(C).astype(np.float32))
-    np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
-    np.save(os.path.join(cache_dir, "y_dict.npy"), y_dict, allow_pickle=True)
-    np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
-    np.save(os.path.join(cache_dir, "speech_onsets.npy"), speech_onsets, allow_pickle=True)
-    np.save(os.path.join(cache_dir, "sentence_idxs.npy"), sentence_idxs, allow_pickle=True)
-    return Config({
-        "dataset": "Gwilliams2022",
-        "cache_dir": cache_dir,
-        "split_ratio": 0.8,
-        "split_mode": "sentence",
-        "num_channels": C,
-        "preprocs": {
-            "brain_resample_rate": rate,
-            "seq_len_sec": 3,
-            "baseline_len_sec": 0.5,
-            "shift_brain": True,
-            "shift_len": 150,
-            "clamp": True,
-            "clamp_lim": 20,
-            "last4layers": False,
-        },
-    })
+    return make_synthetic_gwilliams_cache(
+        cache_dir, n_subjects=n_subjects, n_sessions_per=n_sessions_per,
+        C=C, rate=rate, rec_sec=rec_sec, words_per_task=words_per_task,
+        F=F, seed=seed)
 
 
 def make_brennan_raw(root, n_subjects=4, C=8, fs=500.0, rec_sec=60.0, F=16,

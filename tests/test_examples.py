@@ -91,3 +91,20 @@ class TestUtilityExamples:
                  "--config-name", "config_GOD", cwd=str(tmp_path))
         assert p.returncode == 0, p.stderr[-2000:]
         assert "sbj01/" in p.stdout and "mean" in p.stdout
+
+
+class TestQuickstart:
+    def test_quickstart_synthetic_full_tour(self, tmp_path):
+        """The zero-data quickstart must run the whole tour — synthetic
+        cache → train → evaluate → serving export → artifact call — through
+        the public entry points."""
+        p = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "examples", "quickstart_synthetic.py"),
+             "--out", str(tmp_path / "qs"), "--epochs", "1"],
+            cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                     JAX_PLATFORMS="cpu"))
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "served artifact predicts (4, 16, 360)" in p.stdout
+        assert (tmp_path / "qs" / "run" / "export").exists()
