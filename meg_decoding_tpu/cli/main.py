@@ -96,12 +96,18 @@ def train_main(argv=None):
     return best
 
 
-def evaluate_main(argv=None):
-    """Console entry: dispatch to the GOD or speech evaluator (repo-root
-    ``evaluate.py`` logic, packaged)."""
-    cfg = parse_cli_auto(argv, default_config_name="config_GOD")
+def dispatch_evaluate(cfg):
+    """Select the GOD or speech evaluator by ``cfg.dataset`` (counterpart of
+    ``dispatch_train``)."""
     if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
         from meg_decoding_tpu.cli.evaluate_speech import run as _run
     else:
         from meg_decoding_tpu.cli.evaluate_god import run as _run
     return _run(cfg)
+
+
+def evaluate_main(argv=None):
+    """Console entry: dispatch to the GOD or speech evaluator (repo-root
+    ``evaluate.py`` logic, packaged)."""
+    return dispatch_evaluate(parse_cli_auto(argv,
+                                            default_config_name="config_GOD"))

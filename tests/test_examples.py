@@ -94,17 +94,29 @@ class TestUtilityExamples:
 
 
 class TestQuickstart:
+    def _run_quickstart(self, tmp_path, *argv):
+        return subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "examples", "quickstart_synthetic.py"),
+             "--out", str(tmp_path / "qs"), "--epochs", "1", *argv],
+            cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                     JAX_PLATFORMS="cpu"))
+
     def test_quickstart_synthetic_full_tour(self, tmp_path):
         """The zero-data quickstart must run the whole tour — synthetic
         cache → train → evaluate → serving export → artifact call — through
         the public entry points."""
-        p = subprocess.run(
-            [sys.executable,
-             os.path.join(REPO, "examples", "quickstart_synthetic.py"),
-             "--out", str(tmp_path / "qs"), "--epochs", "1"],
-            cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
-            env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
-                     JAX_PLATFORMS="cpu"))
+        p = self._run_quickstart(tmp_path)
         assert p.returncode == 0, p.stderr[-2000:]
         assert "served artifact predicts (4, 16, 360)" in p.stdout
         assert (tmp_path / "qs" / "run" / "export").exists()
+
+    @pytest.mark.parametrize("dataset", ["god", "brennan"])
+    def test_quickstart_other_workloads(self, tmp_path, dataset):
+        """GOD and Brennan quickstart legs (train + evaluate; the export leg
+        is covered by the flagship tour above)."""
+        p = self._run_quickstart(tmp_path, "--dataset", dataset,
+                                 "--skip-export")
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "[quickstart] evaluate:" in p.stdout
