@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 COMMON = dict(batch_size=16, use_sampler=True, test_size=16,
               lr_scheduler="none", init_temperature=5.1, seed=0)
+SPEECH_EXTRA = dict(model="brain_encoder", D1=16, D2=24, F=16, K=8,
+                    d_drop=0.1, seq2seq=True, updates=20, lr=3e-4)
 
 
 def _make_cfg(dataset: str, out: str, epochs: int):
@@ -38,12 +40,10 @@ def _make_cfg(dataset: str, out: str, epochs: int):
 
     if dataset == "gwilliams":
         cfg = make_synthetic_gwilliams_cache(os.path.join(out, "cache"))
-        extra = dict(model="brain_encoder", D1=16, D2=24, F=16, K=8,
-                     d_drop=0.1, seq2seq=True, updates=20, lr=3e-4)
+        extra = SPEECH_EXTRA
     elif dataset == "brennan":
         cfg = make_synthetic_brennan_raw(os.path.join(out, "data_root"))
-        extra = dict(model="brain_encoder", D1=16, D2=24, F=16, K=8,
-                     d_drop=0.1, seq2seq=True, updates=20, lr=3e-4)
+        extra = SPEECH_EXTRA
     elif dataset == "god":
         cfg = make_synthetic_god_dataset(os.path.join(out, "god"),
                                          subjects=("sbj01", "sbj02"))
@@ -68,6 +68,8 @@ def main(argv=None):
     ap.add_argument("--skip-export", action="store_true",
                     help="skip the serving-artifact leg")
     args = ap.parse_args(argv)
+    if args.epochs < 1:
+        ap.error("--epochs must be >= 1 (the tour needs a trained checkpoint)")
 
     # 1. a tiny synthetic dataset in the workload's real on-disk format
     cfg = _make_cfg(args.dataset, args.out, args.epochs)

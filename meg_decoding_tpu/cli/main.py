@@ -13,7 +13,9 @@ import sys
 
 from meg_decoding_tpu.core.config import Config, compose
 
-__all__ = ["parse_cli", "default_config_dir", "train_main", "evaluate_main"]
+__all__ = ["parse_cli", "parse_cli_auto", "default_config_dir",
+           "dispatch_train", "dispatch_evaluate", "train_main",
+           "evaluate_main"]
 
 
 def default_config_dir() -> str:
@@ -99,10 +101,12 @@ def train_main(argv=None):
 def dispatch_evaluate(cfg):
     """Select the GOD or speech evaluator by ``cfg.dataset`` (counterpart of
     ``dispatch_train``)."""
-    if cfg.dataset in ("Gwilliams2022", "Brennan2018"):
+    if cfg.dataset == "GOD":
+        from meg_decoding_tpu.cli.evaluate_god import run as _run
+    elif cfg.dataset in ("Gwilliams2022", "Brennan2018"):
         from meg_decoding_tpu.cli.evaluate_speech import run as _run
     else:
-        from meg_decoding_tpu.cli.evaluate_god import run as _run
+        raise ValueError(f"unknown dataset {cfg.dataset!r}")
     return _run(cfg)
 
 

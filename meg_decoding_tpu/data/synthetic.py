@@ -47,8 +47,10 @@ def make_synthetic_gwilliams_cache(cache_dir: str, n_subjects: int = 2,
         task = f"task{t}"
         onsets = np.sort(rng.uniform(0.5, rec_sec - 4.0, words_per_task))
         speech_onsets[task] = onsets
-        sentence_idxs[task] = np.repeat(np.arange(words_per_task // 4),
-                                        4)[:words_per_task]
+        # one sentence index per word (groups of 4; a remainder forms a
+        # final shorter sentence) — must stay the same length as the onset
+        # tables for every words_per_task
+        sentence_idxs[task] = np.arange(words_per_task) // 4
         y_dict[task] = rng.randn(F, T).astype(np.float64)
     for s in range(n_subjects):
         for sess in range(n_sessions_per):
@@ -210,14 +212,12 @@ def make_synthetic_brennan_raw(root, n_subjects=4, C=8, fs=500.0,
     for i in subj_ids:
         mix = rng.randn(C, F) * 0.5
         eeg = mix @ Y_at_fs + 0.1 * rng.randn(C, T)
-        raw = np.zeros((1, 1), dtype=object)
         entry = np.zeros((1,), dtype=[("trial", "O"), ("fsample", "O"), ("label", "O")])
         trial = np.zeros((1, 1), dtype=object)
         trial[0, 0] = eeg
         entry[0]["trial"] = trial
         entry[0]["fsample"] = np.array([[fs]])
         entry[0]["label"] = np.array([["ch"]])
-        raw[0, 0] = entry.reshape(1, 1)[0, 0]
         scipy.io.savemat(os.path.join(raw_dir, f"S{i:02d}.mat"),
                          {"raw": entry.reshape(1, 1)})
     y_dir = os.path.join(root, "data", "Brennan2018", "Y_embeds")

@@ -4,8 +4,6 @@ generators (``meg_decoding_tpu/data/synthetic.py``, shared with the
 zero-data quickstart), plus flax→torch transplant helpers for the parity
 tests."""
 
-import os
-
 import numpy as np
 
 

@@ -198,3 +198,16 @@ class TestResume:
             rows += [json.loads(l) for l in open(p)]
         epochs = sorted(r["epoch"] for r in rows)
         assert epochs == [0, 1, 2, 3, 4, 5]  # continued, never repeated
+
+
+class TestDispatch:
+    """dispatch_train/dispatch_evaluate must fail loudly on unknown dataset
+    names (a typo'd `dataset=gwilliams` once fell through to the GOD
+    evaluator and crashed deep in its data loading)."""
+
+    def test_unknown_dataset_raises(self):
+        from meg_decoding_tpu.cli.main import dispatch_evaluate, dispatch_train
+
+        for dispatch in (dispatch_train, dispatch_evaluate):
+            with pytest.raises(ValueError, match="unknown dataset"):
+                dispatch(Config({"dataset": "gwilliams"}))

@@ -112,6 +112,7 @@ class TestQuickstart:
         assert "served artifact predicts (4, 16, 360)" in p.stdout
         assert (tmp_path / "qs" / "run" / "export").exists()
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("dataset", ["god", "brennan"])
     def test_quickstart_other_workloads(self, tmp_path, dataset):
         """GOD and Brennan quickstart legs (train + evaluate; the export leg

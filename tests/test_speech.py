@@ -41,6 +41,20 @@ class TestGwilliamsPacking:
             te_sents = set(np.asarray(sent[task])[te[task]])
             assert tr_sents.isdisjoint(te_sents)
 
+    @pytest.mark.parametrize("wpt", [26, 3])  # not multiples of 4; < 4
+    def test_synthetic_cache_sentence_table_covers_all_words(
+            self, tmp_path, wpt):
+        """Regression: the synthetic generator's sentence_idxs table must be
+        exactly one entry per word for ANY words_per_task (a // 4 repeat once
+        truncated it, silently dropping tail words from both splits)."""
+        cfg = make_gwilliams_cache(str(tmp_path / "c"), words_per_task=wpt)
+        _, _, mo, so, sent = load_gwilliams_cache(cfg.cache_dir)
+        for task in sent:
+            assert len(sent[task]) == len(so[task]) == wpt
+        tr, te = sentence_split(sent, 0.8, seed=0)
+        for task in sent:
+            assert sorted(np.concatenate([tr[task], te[task]])) == list(range(wpt))
+
     def test_deep_split_head_tail(self, gw):
         cfg, (x, y, mo, so, sent) = gw
         tr, te = deep_split(so, 0.8)
