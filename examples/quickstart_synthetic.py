@@ -78,8 +78,9 @@ def main(argv=None):
     from meg_decoding_tpu.cli.main import dispatch_evaluate, dispatch_train
 
     best = dispatch_train(cfg)
-    print(f"[quickstart] best epoch: top10={best.get('test_top10'):.3f} "
-          f"loss={best.get('test_loss'):.3f}")
+    print(f"[quickstart] best epoch: "
+          f"top10={best.get('test_top10', float('nan')):.3f} "
+          f"loss={best.get('test_loss', float('nan')):.3f}")
     assert np.isfinite(best.get("train_loss", np.nan))
 
     # 3. evaluate the saved checkpoint (same as `python evaluate.py`)

@@ -41,8 +41,14 @@ def _plot(X, onsets, fs, out_dir, n_channels=8, n_epochs=6, win=(0.0, 0.5)):
 
     # trigger-aligned epochs of one channel + the mean evoked response
     s0, s1 = int(win[0] * fs), int(win[1] * fs)
-    ep = np.stack([X[0, int(o * fs) + s0: int(o * fs) + s1]
-                   for o in onsets if int(o * fs) + s1 <= X.shape[1]])
+    windows = [X[0, int(o * fs) + s0: int(o * fs) + s1]
+               for o in onsets if int(o * fs) + s1 <= X.shape[1]]
+    if not windows:
+        print(f"no trigger-aligned windows fit the recording "
+              f"(len {X.shape[1] / fs:.1f}s, window {win}) — skipping the "
+              f"epochs plot; wrote raw_traces.png under {out_dir}")
+        return
+    ep = np.stack(windows)
     fig, ax = plt.subplots(figsize=(8, 4))
     tt = np.arange(s0, s1) / fs
     ax.plot(tt, ep[:n_epochs].T, lw=0.5, alpha=0.6)

@@ -29,6 +29,31 @@ from meg_decoding_tpu.train.steps import CollateConfig
 __all__ = ["run", "main"]
 
 
+def _gwilliams_export_meta(cfg) -> tuple[int, int, int]:
+    """(num_subjects, num_channels, seq_len) from cache metadata only — the
+    tiny onset table + ``layout.npy``, never the recordings.  Matches
+    ``build_gwilliams_dataset``'s own derivations (data/gwilliams.py)."""
+    from meg_decoding_tpu.cli.train_speech import find_gwilliams_cache
+    from meg_decoding_tpu.data.gwilliams import parse_sessions
+
+    cache_dir = find_gwilliams_cache(cfg)
+    meg_on = np.load(os.path.join(cache_dir, "meg_onsets.npy"),
+                     allow_pickle=True).item()
+    _, subjects = parse_sessions(meg_on.keys())
+
+    rate = float(cfg.preprocs.get("brain_resample_rate"))
+    seq_len = int(rate * float(cfg.preprocs.seq_len_sec))
+
+    layout_path = os.path.join(cache_dir, "layout.npy")
+    if os.path.exists(layout_path):
+        num_channels = int(np.load(layout_path).shape[0])
+    else:  # legacy cache without a sensor layout: peek one recording (host)
+        x = np.load(os.path.join(cache_dir, "x_dict.npy"),
+                    allow_pickle=True).item()
+        num_channels = int(next(iter(x.values())).shape[0])
+    return len(subjects), num_channels, seq_len
+
+
 def run(cfg: Config) -> str:
     seed = int(cfg.get("seed", 0))
     save_root = cfg.get("save_root", "runs_out")
@@ -43,24 +68,33 @@ def run(cfg: Config) -> str:
         roi_channels = roi(cfg)
         loc = ch_locations_2d(cfg, roi_channels)
         num_channels = len(roi_channels)
-        model = get_model(cfg, loc=loc, num_channels=num_channels)
+        example = dataset.gather(np.arange(min(len(dataset), 8)))
+        seq_len = int(np.asarray(example[0]).shape[-1])
+    elif cfg.dataset == "Gwilliams2022":
+        # the artifact only needs (num_subjects, num_channels, seq_len) —
+        # read them from the cache metadata instead of staging the packed
+        # recordings (~9.3 GB at full scale) on device just for shapes
+        num_subjects, num_channels, seq_len = _gwilliams_export_meta(cfg)
+        cfg.num_subjects = num_subjects
+        cfg.num_channels = num_channels
+        loc = ch_locations_2d(cfg)
+        example = (np.zeros((3, num_channels, seq_len), np.float32), None,
+                   np.zeros((3,), np.int32))
     else:
-        from meg_decoding_tpu.cli.train_speech import (
-            _load_brennan,
-            _load_gwilliams,
-        )
+        # Brennan: the effective srate (and so seq_len) is data-dependent —
+        # fs · audio_len / T_raw (data/brennan.py) — and the EEG is small, so
+        # build the dataset the same way the trainer does
+        from meg_decoding_tpu.cli.train_speech import _load_brennan
 
-        loader = (_load_gwilliams if cfg.dataset == "Gwilliams2022"
-                  else _load_brennan)
-        dataset, _ = loader(cfg, seed)
+        dataset, _ = _load_brennan(cfg, seed)
         cfg.num_subjects = dataset.num_subjects
         num_channels = int(dataset.gather(np.arange(1))[0].shape[1])
         cfg.num_channels = num_channels
         loc = ch_locations_2d(cfg)
-        model = get_model(cfg, loc=loc, num_channels=num_channels)
+        example = dataset.gather(np.arange(min(len(dataset), 8)))
+        seq_len = int(np.asarray(example[0]).shape[-1])
 
-    example = dataset.gather(np.arange(min(len(dataset), 8)))
-    seq_len = int(np.asarray(example[0]).shape[-1])
+    model = get_model(cfg, loc=loc, num_channels=num_channels)
     optimizer = make_optimizer(cfg, int(cfg.get("updates", 1200)))
     abstract = create_train_state(model, optimizer, example[:3],
                                   jax.random.PRNGKey(seed))

@@ -140,7 +140,12 @@ class _SpeechLoader:
         return X, Y, subs
 
 
-def _load_gwilliams(cfg, seed):
+def find_gwilliams_cache(cfg) -> str:
+    """Locate the reference-format preprocessed cache: ``cfg.cache_dir`` if
+    set, else the first dir under ``{root_dir}/data/Gwilliams2022/preprocessed``
+    holding an ``x_dict.npy`` (reference ``gwilliams2022.py:64-76`` numbers
+    the cache dirs the same way).  Records the discovery on ``cfg.cache_dir``
+    so ``ch_locations_2d`` can find a cache-resident ``layout.npy``."""
     cache_dir = cfg.get("cache_dir")
     if cache_dir is None:
         base = os.path.join(cfg.get("root_dir", "."), "data", "Gwilliams2022",
@@ -156,8 +161,12 @@ def _load_gwilliams(cfg, seed):
             "scripts in meg_decoding_tpu/data/gwilliams.py (preprocess_recordings) "
             "or point cfg.cache_dir at a reference-format cache."
         )
-    cfg.cache_dir = cache_dir  # discovered dir → visible to ch_locations_2d
-    # (the cache may carry the real BIDS sensor layout as layout.npy)
+    cfg.cache_dir = cache_dir
+    return cache_dir
+
+
+def _load_gwilliams(cfg, seed):
+    cache_dir = find_gwilliams_cache(cfg)
     x, y, meg_on, sp_on, sent = load_gwilliams_cache(cache_dir)
     split_mode = cfg.get("split_mode", "shallow")
     packed = build_gwilliams_dataset(cfg, x, y, meg_on, sp_on, sent,

@@ -62,6 +62,19 @@ def load_gwilliams_cache(cache_dir: str):
     return x, y, meg_onsets, speech_onsets, sentence_idxs
 
 
+def parse_sessions(keys):
+    """Session/subject bookkeeping from cache keys ``{subj}_{sess}_{task}``:
+    sessions with all ``NUM_TASKS`` tasks present, and the sorted subject
+    list.  Shared by ``build_gwilliams_dataset`` and metadata-only consumers
+    (``cli/export_model.py``) that must not stage the recordings."""
+    keys = sorted(keys)
+    sess_names = sorted({"_".join(k.split("_")[:-1]) for k in keys})
+    sess_names = [s for s in sess_names
+                  if sum(1 for k in keys if k.startswith(s + "_")) == NUM_TASKS]
+    subjects = sorted({s.split("_")[0] for s in sess_names})
+    return sess_names, subjects
+
+
 def preprocess_recordings(raw: np.ndarray, fs: float, l_freq: float,
                           h_freq: float, new_rate: float) -> np.ndarray:
     """Bandpass + resample a stack of recordings (..., C, T) on device — the
@@ -552,11 +565,7 @@ def build_gwilliams_dataset(cfg, x_dict: dict, y_dict: dict, meg_onsets: dict,
         if pre.get("shift_brain", True) else 0
 
     # --- session bookkeeping ------------------------------------------------
-    keys = sorted(x_dict.keys())
-    sess_names = sorted({"_".join(k.split("_")[:-1]) for k in keys})
-    sess_names = [s for s in sess_names
-                  if sum(1 for k in keys if k.startswith(s + "_")) == NUM_TASKS]
-    subjects = sorted({s.split("_")[0] for s in sess_names})
+    sess_names, subjects = parse_sessions(x_dict.keys())
     subject_of = {s: subjects.index(s.split("_")[0]) for s in sess_names}
 
     n_sessions = len(sess_names)

@@ -11,8 +11,8 @@ double-buffered.  The new checkpoint is written beside the old one
 (``<name>.new``), then the generations rotate with atomic directory renames —
 the previous complete checkpoint survives as ``<name>.old`` until the next
 save.  A crash at ANY point leaves at least one complete generation on disk,
-and ``restore`` transparently falls back ``name → name.old → name.new`` when
-the preferred generation is missing or unreadable.
+and ``restore`` tries ``name.new → name → name.old`` — newest complete
+generation first (a crash mid-rotation leaves ``.new`` as the freshest).
 """
 
 from __future__ import annotations
