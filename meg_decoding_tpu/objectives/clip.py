@@ -7,12 +7,13 @@ from ``init_temperature`` (5.1 in ``configs/config.yaml:32``), then
 
 TPU-first notes:
 * One matmul for the full logits matrix — float32 accumulation on the MXU.
-* Under batch sharding the global ``(B, B)`` logits need the embeddings of
-  every shard: ``clip_loss_sharded`` all-gathers the (small) ``(B_local, F)``
-  embeddings along the data axis inside ``shard_map`` and computes only the
-  local rows of both CE terms (the standard sharded-CLIP pattern).  Plain
-  ``clip_loss`` under ``jit`` + NamedSharding lets XLA insert the same
-  collectives automatically.
+* Under batch sharding, ``clip_loss_sharded`` all-gathers only the **y**
+  embeddings: each device's local logit rows are a column-block of the
+  global matrix, so the CE(y→x) term is rebuilt from a pmax/psum'd
+  per-column logsumexp instead of gathering x and re-doing the matmul
+  transposed — half the collective bytes of the textbook sharded-CLIP
+  pattern.  Plain ``clip_loss`` under ``jit`` + NamedSharding lets XLA
+  insert collectives automatically.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["CLIPLoss", "clip_loss", "clip_logits", "clip_loss_local_rows",
-           "clip_loss_sharded"]
+           "clip_loss_local_rows_gathered", "clip_loss_sharded"]
 
 EPS = 1e-12
 
@@ -105,17 +106,69 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
                          reduction: str = "mean", top_ks=None):
     """Sharded CLIP loss for use inside ``shard_map``/``pmap``.
 
-    Each device holds (B_local, F) slices of x and y.  All-gathers both
-    embeddings along ``axis_name`` (cheap: B×F floats over ICI), computes the
-    local rows of logits and of the transposed logits, and psum-combines the
-    per-shard CE sums so every device returns the same global loss.
+    Each device holds (B_local, F) slices of x and y.  Only **y** is
+    all-gathered: the local rows ``logits_xy = x_local @ y_allᵀ`` already
+    contain every device's column-block of the global logits matrix, and the
+    CE(y→x) term needs exactly the *columns* of that matrix — a pmax/psum'd
+    per-column logsumexp over the row-blocks reconstructs it with no x
+    all-gather and no second (B_local, B_global) matmul.  Per step this
+    halves the embedding collective (for the seq2seq model: ~94 MB instead
+    of ~188 MB over ICI at B=128, F·T≈370k) and drops one of the two
+    (B_local, B_global, D) matmuls; the replacement collectives move only
+    2·B_global floats.
 
     ``top_ks``: also return retrieval metrics computed from the local
     ``x vs all-y`` logit rows (the rows of the matrix the unsharded path
     scores) — the logits-reuse optimization of the single-chip step, kept
-    under sharding: no second normalize + (B, B) matmul.  Returns
-    ``(loss, {f'top{k}': acc})`` (metrics replicated via psum).
+    under sharding.  Returns ``(loss, {f'top{k}': acc})`` (metrics
+    replicated via psum).
     """
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.psum(1, axis_name)
+    b_local = x_local.shape[0]
+
+    x_local = _normalize(x_local.reshape(b_local, -1))
+    y_local = _normalize(y_local.reshape(b_local, -1))
+    y_all = jax.lax.all_gather(y_local, axis_name, tiled=True)  # (B_global, F)
+
+    scale = jnp.exp(temp)
+    local_targets = idx * b_local + jnp.arange(b_local)
+
+    # this device's rows of the global logits: local x vs all y
+    logits_xy = jnp.dot(x_local, y_all.T, preferred_element_type=jnp.float32) * scale
+
+    # CE(x→y) from the local rows
+    ce_xy = _cross_entropy(logits_xy, local_targets, "sum")
+
+    # CE(y→x) from the same matrix's columns: global per-column logsumexp
+    # assembled from each device's row-block (max is stop-gradient — the
+    # standard stable-logsumexp shift; the softmax gradient is shift-free)
+    col_max = jax.lax.pmax(
+        jax.lax.stop_gradient(jnp.max(logits_xy, axis=0)), axis_name)
+    col_sum = jax.lax.psum(
+        jnp.sum(jnp.exp(logits_xy - col_max[None, :]), axis=0), axis_name)
+    col_lse = col_max + jnp.log(col_sum)  # (B_global,), replicated
+    diag = jnp.take_along_axis(logits_xy, local_targets[:, None], axis=1)[:, 0]
+    ce_yx = jnp.sum(
+        jax.lax.dynamic_slice_in_dim(col_lse, idx * b_local, b_local) - diag)
+
+    total = jax.lax.psum((ce_xy + ce_yx) / 2.0, axis_name)
+    if reduction == "mean":
+        total = total / (b_local * n)
+    if top_ks is None:
+        return total
+    hits = _local_row_topk_hits(logits_xy, local_targets, top_ks)
+    metrics = {k: jax.lax.psum(v, axis_name) / (b_local * n)
+               for k, v in hits.items()}
+    return total, metrics
+
+
+def clip_loss_local_rows_gathered(x_local, y_local, temp, axis_name: str,
+                                  reduction: str = "mean"):
+    """The pre-round-4 both-gather variant (all-gather x AND y, two
+    (B_local, B_global) matmuls) — kept as the comparison baseline for
+    ``tests/test_objectives.py``'s equivalence check and for collective-cost
+    ablations; the production path is ``clip_loss_local_rows``."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.psum(1, axis_name)
     b_local = x_local.shape[0]
@@ -128,7 +181,6 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
     scale = jnp.exp(temp)
     local_targets = idx * b_local + jnp.arange(b_local)
 
-    # rows of logits for local x vs all y, and local y vs all x
     logits_xy = jnp.dot(x_local, y_all.T, preferred_element_type=jnp.float32) * scale
     logits_yx = jnp.dot(y_local, x_all.T, preferred_element_type=jnp.float32) * scale
 
@@ -137,20 +189,16 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
     total = jax.lax.psum(loss_sum, axis_name)
     if reduction == "mean":
         total = total / (b_local * n)
-    if top_ks is None:
-        return total
-    hits = _local_row_topk_hits(logits_xy, local_targets, top_ks)
-    metrics = {k: jax.lax.psum(v, axis_name) / (b_local * n)
-               for k, v in hits.items()}
-    return total, metrics
+    return total
 
 
 def clip_loss_sharded(x, y, temp, mesh, reduction: str = "mean",
                       axis_name: str = "data", top_ks=None):
     """CLIP loss over a batch-sharded (x, y) via ``shard_map`` around
-    ``clip_loss_local_rows``: the (B_local, F) embeddings are all-gathered
-    over ICI and each device computes only its rows of both CE terms — the
-    collective pattern is explicit instead of left to XLA's auto-spmd.
+    ``clip_loss_local_rows``: only the (B_local, F) y-embeddings are
+    all-gathered over ICI; each device computes its rows of the logits and
+    both CE terms come from that one matrix (columns via psum'd logsumexp) —
+    the collective pattern is explicit instead of left to XLA's auto-spmd.
 
     Differentiable (shard_map + psum/all_gather have exact transposes); the
     returned scalar is replicated.  Requires B divisible by the data-axis

