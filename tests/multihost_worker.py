@@ -1,13 +1,19 @@
-"""Worker for tests/test_multihost.py: one process of a 2-process
-data-parallel training job over gloo CPU collectives.
+"""Worker for tests/test_multihost.py: one process of an N-process
+data-parallel training job over gloo CPU collectives, with an optional
+number of (virtual) devices per process.
 
 Exercises the REAL multi-host code path (SURVEY §2.11/§5.8):
-``maybe_distributed_init`` → global mesh over both processes' devices →
-batch sharded across processes → jitted train step with the explicit
-sharded CLIP loss (all-gather + psum cross **processes**) → identical
+``maybe_distributed_init`` → global mesh over every process's devices →
+batch sharded across processes AND their local devices → jitted train step
+with the explicit sharded CLIP loss (all-gather + psum across processes
+over gloo "DCN", across local devices in-process "ICI") → identical
 replicated result everywhere.
 
 Run as: python multihost_worker.py <process_id> <num_processes> <port>
+        [devices_per_process]
+
+``num_processes == 1`` skips distributed init — the single-controller
+reference run the pod result must match.
 """
 
 import os
@@ -20,16 +26,18 @@ import numpy as np
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    dpp = int(sys.argv[4]) if len(sys.argv) > 4 else 1  # devices per process
 
     from meg_decoding_tpu.core.config import Config
     from meg_decoding_tpu.parallel.dp import maybe_distributed_init
 
-    cfg = Config({"distributed": {
-        "coordinator_address": f"127.0.0.1:{port}",
-        "num_processes": nproc,
-        "process_id": pid,
-    }})
-    maybe_distributed_init(cfg)
+    if nproc > 1:
+        cfg = Config({"distributed": {
+            "coordinator_address": f"127.0.0.1:{port}",
+            "num_processes": nproc,
+            "process_id": pid,
+        }})
+        maybe_distributed_init(cfg)
 
     import jax
     import jax.numpy as jnp
@@ -37,7 +45,9 @@ def main():
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     assert jax.process_count() == nproc
-    assert jax.device_count() == nproc  # one CPU device per process
+    assert jax.local_device_count() == dpp  # XLA_FLAGS set by the parent
+    n_dev = nproc * dpp
+    assert jax.device_count() == n_dev
 
     from meg_decoding_tpu.core.mesh import make_mesh, replicated
     from meg_decoding_tpu.data.layout import (
@@ -52,8 +62,8 @@ def main():
         make_train_step,
     )
 
-    mesh = make_mesh(n_data=nproc)
-    B, C, T, F = 2 * nproc, 8, 24, 16
+    mesh = make_mesh(n_data=n_dev)
+    B, C, T, F = 2 * n_dev, 8, 24, 16
     model = BrainEncoder(loc=normalize_locations(synthetic_cap_locations(C)),
                          num_subjects=2, D1=8, D2=12, F=F, K=4)
     rng = np.random.RandomState(0)  # same data on every process
@@ -62,14 +72,15 @@ def main():
     subs = rng.randint(0, 2, B)
 
     opt = optax.adam(1e-3)
+    b_proc = B // nproc
     state = create_train_state(
-        model, opt, (jnp.asarray(X[: B // nproc]), jnp.asarray(Y[: B // nproc]),
-                     jnp.asarray(subs[: B // nproc])), jax.random.PRNGKey(0))
+        model, opt, (jnp.asarray(X[:b_proc]), jnp.asarray(Y[:b_proc]),
+                     jnp.asarray(subs[:b_proc])), jax.random.PRNGKey(0))
     state = jax.device_put(state, replicated(mesh))
 
     def shard(arr):
         sharding = NamedSharding(mesh, P("data", *([None] * (arr.ndim - 1))))
-        local = arr[pid * (B // nproc):(pid + 1) * (B // nproc)]
+        local = arr[pid * b_proc:(pid + 1) * b_proc]
         return jax.make_array_from_process_local_data(sharding, local)
 
     step = make_train_step(model, opt, LossConfig(kind="clip"),
