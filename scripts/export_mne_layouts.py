@@ -84,6 +84,28 @@ def check_easycap_m10(atol: float = 0.02) -> bool:
     return ok
 
 
+def write_golden():
+    """Persist MNE's exact easycap-M10 layout as a committed golden file
+    (``data/golden/easycap_M10_mne.csv``) so the zero-MNE CI can compare
+    the reconstruction against it forever after
+    (tests/test_layouts.py::test_reconstruction_matches_mne_golden)."""
+    import mne
+
+    montage = mne.channels.make_standard_montage("easycap-M10")
+    info = mne.create_info(ch_names=montage.ch_names, sfreq=512.0,
+                           ch_types="eeg")
+    info.set_montage(montage)
+    layout = mne.channels.find_layout(info, ch_type="eeg")
+    loc = layout.pos[:, :2]
+    golden_dir = os.path.join(REPO_ROOT, "meg_decoding_tpu", "data", "golden")
+    os.makedirs(golden_dir, exist_ok=True)
+    path = os.path.join(golden_dir, "easycap_M10_mne.csv")
+    with open(path, "w") as f:
+        for x, y in loc:
+            f.write(f"{x:.8f},{y:.8f}\n")
+    print(f"wrote {path} ({loc.shape[0]} channels, exact MNE values)")
+
+
 if __name__ == "__main__":
     import argparse
     import sys
@@ -93,9 +115,15 @@ if __name__ == "__main__":
     ap.add_argument("--check", action="store_true",
                     help="verify the committed CSV against MNE instead of "
                          "overwriting it")
+    ap.add_argument("--write-golden", action="store_true",
+                    help="persist MNE's exact layout as a committed golden "
+                         "file for the zero-MNE CI to check against")
     args = ap.parse_args()
     if args.check:
         sys.exit(0 if check_easycap_m10() else 1)
+    if args.write_golden:
+        write_golden()
+        sys.exit(0)
     export_easycap_m10()
     if args.gwilliams_bids_root:
         export_gwilliams_layout(args.gwilliams_bids_root)

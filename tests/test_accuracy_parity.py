@@ -170,7 +170,7 @@ def test_seq2seq_planted_signal_top10_matches_torch_reference():
     assert abs(acc_jax - acc_torch) <= 0.05, (acc_jax, acc_torch)
 
 
-def _run_static_anchor(seed: int, steps: int = STEPS):
+def _run_static_anchor(seed: int, steps: int = STEPS, n_test: int = N_TEST):
     """One paired run of the static-head anchor: both stacks, shared
     transplanted init, same batch schedule.  Returns (acc_jax, acc_torch)."""
     rng = np.random.RandomState(seed)
@@ -183,7 +183,7 @@ def _run_static_anchor(seed: int, steps: int = STEPS):
         return X, Y.astype(np.float32), rng.randint(0, NSUB, n)
 
     Xtr, Ytr, Str = planted(N_TRAIN)
-    Xte, Yte, Ste = planted(N_TEST)
+    Xte, Yte, Ste = planted(n_test)
     batch_idx = [rng.randint(0, N_TRAIN, BATCH) for _ in range(steps)]
 
     # --- jax framework ----------------------------------------------------
@@ -252,19 +252,29 @@ def test_planted_signal_top10_matches_torch_reference():
 @pytest.mark.slow
 def test_mean_seed_diff_certifies_1pt_criterion():
     """BASELINE.md's actual criterion is 1 POINT — uncertifiable from one
-    paired run (binomial noise alone ~2.2 pts).  Average the PAIRED diff
-    over 5 seeds (both stacks share init + batch schedule per seed, scored
-    on the same eval set, so the diff is dynamics divergence, not eval
-    noise) and gate |mean diff| ≤ 1 pt.  Measured values go in RESULTS.md."""
-    seeds = (1, 2, 3, 4, 5)
+    paired run (binomial noise alone ~2.2 pts on a 512 gallery).  Average
+    the PAIRED diff over 10 seeds scored on a 2048-sample gallery (both
+    stacks share init + batch schedule per seed, scored on the same eval
+    set, so the diff is dynamics divergence, not eval noise).
+
+    Round 4 (VERDICT r3 weak #3): the round-3 design's CI half-width
+    (±1.31 pts over 5 seeds × 512 gallery) exceeded the criterion it
+    claimed to certify — a true +1.5-pt regression would have passed ~1/3
+    of the time.  The gate now requires the measurement itself to be
+    capable of certifying 1 pt: 95% CI half-width ≤ 1.0 pt AND
+    |mean| ≤ 1 pt.  Measured values go in RESULTS.md."""
+    seeds = tuple(range(1, 11))
     diffs, rows = [], []
     for s in seeds:
-        aj, at = _run_static_anchor(seed=s)
+        aj, at = _run_static_anchor(seed=s, n_test=2048)
         diffs.append(aj - at)
         rows.append((s, aj, at))
     mean_diff = float(np.mean(diffs))
     sem = float(np.std(diffs, ddof=1) / np.sqrt(len(diffs)))
+    half = 1.96 * sem
     print("seed table:", rows)
     print(f"mean paired diff={mean_diff*100:.2f} pts  "
-          f"95% CI ±{1.96*sem*100:.2f} pts")
+          f"95% CI ±{half*100:.2f} pts")
+    assert half <= 0.01, ("CI half-width exceeds the 1-pt criterion — "
+                          "the design cannot certify it", half, rows)
     assert abs(mean_diff) <= 0.01, (mean_diff, rows)

@@ -7,6 +7,8 @@ scripts/export_mne_layouts.py for exact-MNE regeneration) with the
 reference's channel-29 deletion (layout.py:16-18).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -19,10 +21,30 @@ from meg_decoding_tpu.data.layout import (
 from meg_decoding_tpu.data.roi import roi
 
 
+_EASYCAP_MNE_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "meg_decoding_tpu", "data", "golden", "easycap_M10_mne.csv")
+
+
 class TestEasycapM10:
     def test_shape_and_vertex(self):
         loc = easycap_m10_locations()
         assert loc.shape == (61, 2)
+
+    @pytest.mark.skipif(
+        not os.path.exists(_EASYCAP_MNE_GOLDEN),
+        reason="no easycap_M10_mne.csv golden committed: MNE cannot run in "
+               "this zero-egress image — generate with `python "
+               "scripts/export_mne_layouts.py --write-golden` wherever MNE "
+               "exists, commit, and this test arms itself")
+    def test_reconstruction_matches_mne_golden(self):
+        """The geometric reconstruction vs MNE's exact layout (normalized,
+        as the model consumes it) — PARITY deviation 5 closes when this
+        runs green on a committed golden."""
+        ref = np.loadtxt(_EASYCAP_MNE_GOLDEN, delimiter=",")
+        got = normalize_locations(easycap_m10_locations())
+        want = normalize_locations(ref[:, :2])
+        assert np.abs(got - want).max() <= 0.02
         # site 1 is the vertex (projection origin)
         np.testing.assert_allclose(loc[0], [0.0, 0.0], atol=1e-6)
 
