@@ -14,10 +14,15 @@ Also reports MFU (model FLOPs / step time / 197 TFLOP/s v5e bf16 MXU peak —
 the chip has no faster f32 path, so f32 MFU uses the same denominator) and a
 bfloat16-compute secondary metric.
 
-``vs_baseline`` divides by the PyTorch reference-equivalent training step
-measured on ALL host cores (tools/baseline_torch.py →
-tools/baseline_measured.json; the reference repo commits no throughput
-numbers — BASELINE.md, and its own framing is a 20-core host, README.md:26).
+``vs_baseline`` (the headline ratio) is vs a PERFECT-SCALING 20-core
+extrapolation of the PyTorch reference-equivalent step measured on this
+host (tools/baseline_torch.py → tools/baseline_measured.json; the
+reference repo commits no throughput numbers — BASELINE.md — and its own
+framing is a 20-core host, README.md:26).  This container has ONE core, so
+the honest comparison extrapolates the measured torch step to 20 cores
+assuming perfect scaling (real torch scaling is sublinear → conservative);
+the raw measured single-core ratio is the ``vs_baseline_1core_measured``
+footnote, not the headline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -399,19 +404,23 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        vs = sps / base["torch_cpu_train_samples_per_sec"]
-        if "torch_cpu_train_samples_per_sec_1thread" in base:
-            extras["vs_baseline_1thread"] = round(
-                sps / base["torch_cpu_train_samples_per_sec_1thread"], 2)
+        vs_measured = sps / base["torch_cpu_train_samples_per_sec"]
         threads = base.get("num_threads") or 1
         extras["baseline_num_threads"] = threads
         if threads < 20:
             # this container exposes os.cpu_count()==1, so the reference's
-            # 20-core framing (README.md:26) can't be measured directly;
-            # report a PERFECT-SCALING extrapolation as the conservative
-            # denominator (real torch scaling is sublinear)
-            extras["vs_baseline_20core_extrapolated"] = round(
-                vs * threads / 20.0, 2)
+            # 20-core framing (README.md:26) can't be measured directly.
+            # HEADLINE = the perfect-scaling 20-core extrapolation (the
+            # conservative denominator: real torch scaling is sublinear);
+            # the raw measured 1-core ratio is the footnote (VERDICT r3 #9)
+            vs = vs_measured * threads / 20.0
+            extras["vs_baseline_basis"] = "20core_perfect_scaling_extrapolation"
+            extras["vs_baseline_1core_measured"] = round(vs_measured, 2)
+        else:
+            vs = vs_measured
+        if "torch_cpu_train_samples_per_sec_1thread" in base:
+            extras["vs_baseline_1thread"] = round(
+                sps / base["torch_cpu_train_samples_per_sec_1thread"], 2)
 
     print(json.dumps({
         "metric": "gwilliams_train_samples_per_sec_per_chip",

@@ -4,6 +4,8 @@ generators (``meg_decoding_tpu/data/synthetic.py``, shared with the
 zero-data quickstart), plus flax→torch transplant helpers for the parity
 tests."""
 
+import os
+
 import numpy as np
 
 
@@ -89,3 +91,54 @@ def transplant_conv_blocks(params, torch_blocks, n_blocks: int = 5):
             for bname in ["bn0", "bn1"]:
                 get(bname).weight.copy_(torch_t(blk[bname]["scale"]))
                 get(bname).bias.copy_(torch_t(blk[bname]["bias"]))
+
+
+def reference_named_state_dict(variables, loc, d1, d2, f_dim, k_dim,
+                               num_subjects, seq2seq=False):
+    """Build a torch state_dict with the REFERENCE's module names
+    (``meg_decoding/models.py:340-361`` — ``subject_block.spatial_attention``
+    with a complex ``z``, ``conv_blocks.conv{k}.batchnorm*``, a single 2·D2
+    ``conv2``, ``conv_final1/2``) from flax variables via the certified
+    transplant: exactly what a real ``model_last.pt`` contains.  Returns
+    ``(state_dict_of_torch_tensors, torch_model)``; ``torch.save`` the dict
+    to fabricate a reference checkpoint (tests/test_rehearsal.py), or
+    numpy-ify it to drive the importer round trip (tests/test_torch_import).
+    """
+    import sys
+
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.baseline_torch import BrainEncoder as TorchBrainEncoder
+
+    from tests.test_accuracy_parity import transplant_into_torch
+
+    tm = TorchBrainEncoder(torch.tensor(np.asarray(loc)), d1=d1, d2=d2,
+                           f_dim=f_dim, k_dim=k_dim,
+                           num_subjects=num_subjects, seq2seq=seq2seq)
+    transplant_into_torch(variables["params"], tm, num_subjects)
+    with torch.no_grad():  # BN running stats too — load-bearing at eval
+        for k in range(5):
+            blk = variables["batch_stats"][f"conv{k}"]
+            for i in (0, 1):
+                bn = getattr(tm.blocks[k], f"bn{i}")
+                bn.running_mean.copy_(
+                    torch.tensor(np.asarray(blk[f"bn{i}"]["mean"])))
+                bn.running_var.copy_(
+                    torch.tensor(np.asarray(blk[f"bn{i}"]["var"])))
+
+    sd = tm.state_dict()
+    out = {"subject_block.spatial_attention.z":
+           torch.complex(sd.pop("subject_block.sa.z_re"),
+                         sd.pop("subject_block.sa.z_im"))}
+    for k, v in sd.items():
+        k = k.replace("subject_block.sa.", "subject_block.spatial_attention.")
+        for i in range(5):
+            k = k.replace(f"blocks.{i}.", f"conv_blocks.conv{i}.")
+        k = k.replace(".bn0.", ".batchnorm0.").replace(".bn1.", ".batchnorm1.")
+        if k.startswith("f1."):
+            k = "conv_final1." + k[3:]
+        if k.startswith("f2."):
+            k = "conv_final2." + k[3:]
+        out[k] = v
+    return out, tm

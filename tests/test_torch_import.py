@@ -32,43 +32,15 @@ C, T, D1v, D2v, Fv, Kv, S = 12, 40, 8, 12, 16, 4, 3
 
 
 def _reference_named_state_dict(variables):
-    """Transplant the flax variables into the torch replica, copy the BN
-    running stats too, then rename every key to the reference's names."""
-    import sys
-
-    sys.path.insert(0, ".")
-    from tools.baseline_torch import BrainEncoder as TorchBrainEncoder
-    from tests.test_accuracy_parity import transplant_into_torch
+    """Reference-named state_dict (numpy) + the torch replica carrying the
+    same weights — shared builder in tests/fixtures.py."""
+    from tests.fixtures import reference_named_state_dict
 
     loc = np.asarray(normalize_locations(synthetic_cap_locations(C)))
-    tm = TorchBrainEncoder(torch.tensor(loc), d1=D1v, d2=D2v, f_dim=Fv,
-                           k_dim=Kv, num_subjects=S, seq2seq=False)
-    transplant_into_torch(variables["params"], tm, S)
-    with torch.no_grad():
-        for k in range(5):
-            blk = variables["batch_stats"][f"conv{k}"]
-            for i in (0, 1):
-                bn = getattr(tm.blocks[k], f"bn{i}")
-                bn.running_mean.copy_(
-                    torch.tensor(np.asarray(blk[f"bn{i}"]["mean"])))
-                bn.running_var.copy_(
-                    torch.tensor(np.asarray(blk[f"bn{i}"]["var"])))
-
-    sd = state_dict_to_numpy(tm.state_dict())
-    out = {"subject_block.spatial_attention.z":
-           sd.pop("subject_block.sa.z_re")
-           + 1j * sd.pop("subject_block.sa.z_im")}
-    for k, v in sd.items():
-        k = k.replace("subject_block.sa.", "subject_block.spatial_attention.")
-        for i in range(5):
-            k = k.replace(f"blocks.{i}.", f"conv_blocks.conv{i}.")
-        k = k.replace(".bn0.", ".batchnorm0.").replace(".bn1.", ".batchnorm1.")
-        if k.startswith("f1."):
-            k = "conv_final1." + k[3:]
-        if k.startswith("f2."):
-            k = "conv_final2." + k[3:]
-        out[k] = v
-    return out, tm
+    out, tm = reference_named_state_dict(variables, loc, d1=D1v, d2=D2v,
+                                         f_dim=Fv, k_dim=Kv, num_subjects=S,
+                                         seq2seq=False)
+    return state_dict_to_numpy(out), tm
 
 
 @pytest.fixture(scope="module")
