@@ -15,7 +15,7 @@ from meg_decoding_tpu.core.config import Config, compose
 
 __all__ = ["parse_cli", "parse_cli_auto", "default_config_dir",
            "dispatch_train", "dispatch_evaluate", "train_main",
-           "evaluate_main"]
+           "evaluate_main", "expand_multirun", "run_multirun"]
 
 
 def default_config_dir() -> str:
@@ -88,10 +88,67 @@ def dispatch_train(cfg):
     return _run(cfg)
 
 
+def expand_multirun(argv):
+    """Hydra basic-sweeper semantics (``-m``/``--multirun``): every
+    comma-separated override value contributes one grid axis; returns the
+    cartesian product as one full argv per job (first listed override
+    varies slowest, like Hydra).  ``key=[a,b]`` list VALUES are not axes.
+    Returns ``None`` when the flag is absent — comma then keeps its plain
+    single-value meaning, exactly as in Hydra."""
+    import itertools
+
+    if not any(a in ("-m", "--multirun") for a in argv):
+        return None
+    argv = [a for a in argv if a not in ("-m", "--multirun")]
+    base, axes = [], []
+    for a in argv:
+        if "=" in a and not a.startswith("--"):
+            k, v = a.split("=", 1)
+            if "," in v and not v.startswith(("[", "{")):
+                axes.append([f"{k}={x}" for x in v.split(",")])
+                continue
+        base.append(a)
+    if not axes:
+        return [base]
+    return [base + list(job) for job in itertools.product(*axes)]
+
+
+def run_multirun(jobs, dispatch, default_config_name="config"):
+    """Run one composed job per override set, each under
+    ``{save_root}/multirun/{job_num}`` (Hydra's per-job output dirs), with
+    the job's overrides recorded beside its outputs.  Returns the list of
+    per-job results; a failed job records the error and the sweep
+    continues (Hydra basic launcher behavior)."""
+    results = []
+    for num, job_argv in enumerate(jobs):
+        cfg = parse_cli_auto(job_argv, default_config_name=default_config_name)
+        cfg.save_root = os.path.join(cfg.get("save_root", "runs_out"),
+                                     "multirun", str(num))
+        os.makedirs(cfg.save_root, exist_ok=True)
+        with open(os.path.join(cfg.save_root, "overrides.txt"), "w") as f:
+            f.write("\n".join(job_argv) + "\n")
+        print(f"[multirun] job {num}: {' '.join(job_argv)}")
+        try:
+            results.append(dispatch(cfg))
+        except Exception as e:  # noqa: BLE001 — sweep survives a bad point
+            print(f"[multirun] job {num} FAILED: {type(e).__name__}: {e}")
+            results.append({"error": f"{type(e).__name__}: {e}"})
+    for num, r in enumerate(results):
+        print(f"[multirun] job {num} result: {r}")
+    return results
+
+
 def train_main(argv=None):
     """Console entry: dispatch to the GOD or speech trainer by ``dataset=``
     (the logic of the repo-root ``train.py``, packaged for ``pip install``:
-    ``meg-decode-train dataset=GOD epochs=10``)."""
+    ``meg-decode-train dataset=GOD epochs=10``).  ``-m``/``--multirun``
+    sweeps comma-separated override values as a grid, one job per point
+    (``meg-decode-train -m dataset=GOD lr=1e-3,3e-4 seed=0,1`` → 4 jobs
+    under ``{save_root}/multirun/{0..3}``)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    jobs = expand_multirun(argv)
+    if jobs is not None:
+        return run_multirun(jobs, dispatch_train)
     cfg = parse_cli_auto(argv)
     best = dispatch_train(cfg)
     print("best:", best)
@@ -112,6 +169,12 @@ def dispatch_evaluate(cfg):
 
 def evaluate_main(argv=None):
     """Console entry: dispatch to the GOD or speech evaluator (repo-root
-    ``evaluate.py`` logic, packaged)."""
+    ``evaluate.py`` logic, packaged).  Supports ``-m`` grid sweeps like
+    ``train_main``."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    jobs = expand_multirun(argv)
+    if jobs is not None:
+        return run_multirun(jobs, dispatch_evaluate,
+                            default_config_name="config_GOD")
     return dispatch_evaluate(parse_cli_auto(argv,
                                             default_config_name="config_GOD"))

@@ -211,3 +211,54 @@ class TestDispatch:
         for dispatch in (dispatch_train, dispatch_evaluate):
             with pytest.raises(ValueError, match="unknown dataset"):
                 dispatch(Config({"dataset": "gwilliams"}))
+
+
+class TestMultirun:
+    """Hydra `-m` grid-sweep semantics (VERDICT r3 missing #4)."""
+
+    def test_expand_grid_order_first_axis_slowest(self):
+        from meg_decoding_tpu.cli.main import expand_multirun
+
+        jobs = expand_multirun(["-m", "lr=1e-3,1e-4", "dataset=GOD",
+                                "seed=0,1"])
+        assert jobs == [
+            ["dataset=GOD", "lr=1e-3", "seed=0"],
+            ["dataset=GOD", "lr=1e-3", "seed=1"],
+            ["dataset=GOD", "lr=1e-4", "seed=0"],
+            ["dataset=GOD", "lr=1e-4", "seed=1"],
+        ]
+
+    def test_no_flag_means_no_sweep_and_lists_are_not_axes(self):
+        from meg_decoding_tpu.cli.main import expand_multirun
+
+        assert expand_multirun(["lr=1e-3,1e-4"]) is None  # no -m: plain value
+        jobs = expand_multirun(["-m", "preprocs.brain_filter=[2,5]",
+                                "seed=0,1"])
+        assert jobs == [["preprocs.brain_filter=[2,5]", "seed=0"],
+                        ["preprocs.brain_filter=[2,5]", "seed=1"]]
+
+    def test_two_point_sweep_trains_both_jobs(self, tmp_path):
+        """End to end through train_main: 2 seeds, per-job output dirs with
+        recorded overrides, both jobs return real best-metrics."""
+        import yaml
+
+        from meg_decoding_tpu.cli.main import train_main
+        from meg_decoding_tpu.core.config import to_dict
+
+        root = str(tmp_path / "data")
+        save_root = str(tmp_path / "out")
+        cfg = _train_cfg(root, save_root, epochs=1, updates=2)
+        cfg_dir = str(tmp_path / "cfg")
+        os.makedirs(cfg_dir)
+        with open(os.path.join(cfg_dir, "god_smoke.yaml"), "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+
+        results = train_main(["-m", "--config-path", cfg_dir,
+                              "--config-name", "god_smoke", "seed=0,1"])
+        assert len(results) == 2
+        for num in (0, 1):
+            job_dir = os.path.join(save_root, "multirun", str(num))
+            assert os.path.isdir(os.path.join(job_dir, "ckpt"))
+            with open(os.path.join(job_dir, "overrides.txt")) as f:
+                assert f"seed={num}" in f.read().split()
+            assert np.isfinite(results[num]["train_loss"])
