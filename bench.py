@@ -132,7 +132,10 @@ def main():
                          "small = quick smoke (2x2 sessions, 120 s)")
     ap.add_argument("--skip-bf16", action="store_true")
     ap.add_argument("--skip-b256", action="store_true",
-                    help="skip the throughput-optimal B=256 rows")
+                    help="skip the batch-scaling rows (B=256 and up)")
+    ap.add_argument("--big-batches", default="512,1024",
+                    help="comma list of extra batch sizes for the scaling "
+                         "curve (each row OOM-guarded); '' disables")
     ap.add_argument("--skip-split-check", action="store_true",
                     help="skip the full-scale sentence-split HBM-fit check")
     ap.add_argument("--skip-cached-stats", action="store_true",
@@ -285,18 +288,29 @@ def main():
             flops / dt_bf16 / V5E_PEAK_FLOPS, 4)
 
     if not args.skip_b256:
-        # throughput-optimal configuration (the reference trains at B=64;
-        # a TPU-first framework publishes its best batch too)
-        flops256 = _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
-        dt256 = bench_dtype(None, batch=B2)
-        extras["b256_samples_per_sec"] = round(B2 / dt256, 2)
-        extras["b256_mfu_vs_v5e_bf16_peak"] = round(
-            flops256 / dt256 / V5E_PEAK_FLOPS, 4)
-        if not args.skip_bf16:
-            dt256b = bench_dtype(jnp.bfloat16, batch=B2)
-            extras["b256_bf16_samples_per_sec"] = round(B2 / dt256b, 2)
-            extras["b256_bf16_mfu_vs_v5e_bf16_peak"] = round(
-                flops256 / dt256b / V5E_PEAK_FLOPS, 4)
+        # throughput-optimal configurations (the reference trains at B=64;
+        # a TPU-first framework publishes its batch-scaling curve too).
+        # Each row is OOM-guarded: at B=1024 the seq2seq activations are
+        # ~1.5 GB apiece beside the 9.34 GB resident dataset, so a row that
+        # doesn't fit records the error instead of killing the bench.
+        batches = [B2] + ([] if args.tiny else
+                          [int(b) for b in args.big_batches.split(",") if b])
+        best_bf16_sps, best_bf16_batch = 0.0, B2
+        for bx in batches:
+            flops_b = _analytic_step_flops(bx, C, seq_len, D1, D2, F, K)
+            for dtype, tag in ((None, ""), (jnp.bfloat16, "bf16_")):
+                if dtype is not None and args.skip_bf16:
+                    continue
+                try:
+                    dt_b = bench_dtype(dtype, batch=bx)
+                except Exception as e:  # noqa: BLE001 — record OOM, keep going
+                    extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
+                    continue
+                extras[f"b{bx}_{tag}samples_per_sec"] = round(bx / dt_b, 2)
+                extras[f"b{bx}_{tag}mfu_vs_v5e_bf16_peak"] = round(
+                    flops_b / dt_b / V5E_PEAK_FLOPS, 4)
+                if tag == "bf16_" and bx / dt_b > best_bf16_sps:
+                    best_bf16_sps, best_bf16_batch = bx / dt_b, bx
 
     if not args.skip_cached_stats:
         # cache_collate_stats=true: per-window RobustScaler fits precomputed
@@ -315,12 +329,15 @@ def main():
         dtc = bench_dtype(None, cache_stats=stats)
         extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
         if not args.skip_bf16 and not args.skip_b256:
-            dtc256b = bench_dtype(jnp.bfloat16, batch=B2, cache_stats=stats)
-            extras["b256_bf16_cached_stats_samples_per_sec"] = round(
-                B2 / dtc256b, 2)
-            extras["b256_bf16_cached_stats_mfu"] = round(
-                _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
-                / dtc256b / V5E_PEAK_FLOPS, 4)
+            # cached stats at the best-measured bf16 batch — the candidate
+            # "promoted" throughput configuration (VERDICT r3 #2)
+            bb = best_bf16_batch
+            dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats)
+            extras[f"b{bb}_bf16_cached_stats_samples_per_sec"] = round(
+                bb / dtcb, 2)
+            extras[f"b{bb}_bf16_cached_stats_mfu"] = round(
+                _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
+                / dtcb / V5E_PEAK_FLOPS, 4)
         del stats  # free the ~0.9 GB table before the split-check section
 
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------
