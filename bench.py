@@ -330,14 +330,20 @@ def main():
         extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
         if not args.skip_bf16 and not args.skip_b256:
             # cached stats at the best-measured bf16 batch — the candidate
-            # "promoted" throughput configuration (VERDICT r3 #2)
+            # "promoted" throughput configuration (VERDICT r3 #2).  OOM-
+            # guarded like the batch rows: the ~0.9 GB stats table makes
+            # this strictly hungrier than the bare row that picked bb
             bb = best_bf16_batch
-            dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats)
-            extras[f"b{bb}_bf16_cached_stats_samples_per_sec"] = round(
-                bb / dtcb, 2)
-            extras[f"b{bb}_bf16_cached_stats_mfu"] = round(
-                _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
-                / dtcb / V5E_PEAK_FLOPS, 4)
+            try:
+                dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats)
+            except Exception as e:  # noqa: BLE001
+                extras[f"b{bb}_bf16_cached_stats_error"] = type(e).__name__
+            else:
+                extras[f"b{bb}_bf16_cached_stats_samples_per_sec"] = round(
+                    bb / dtcb, 2)
+                extras[f"b{bb}_bf16_cached_stats_mfu"] = round(
+                    _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
+                    / dtcb / V5E_PEAK_FLOPS, 4)
         del stats  # free the ~0.9 GB table before the split-check section
 
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------

@@ -44,14 +44,25 @@ def _gwilliams_export_meta(cfg) -> tuple[int, int, int]:
     rate = float(cfg.preprocs.get("brain_resample_rate"))
     seq_len = int(rate * float(cfg.preprocs.seq_len_sec))
 
-    layout_path = os.path.join(cache_dir, "layout.npy")
-    if os.path.exists(layout_path):
-        num_channels = int(np.load(layout_path).shape[0])
-    else:  # legacy cache without a sensor layout: peek one recording (host)
+    # channel count must match the DATA (what the model was trained on) —
+    # NOT layout.npy's row count: KIT layouts can carry more positions than
+    # recorded channels (tests/test_layouts.py, 224 rows vs 208 channels).
+    # Sources in order: config (training-time value) → cache meta.json
+    # sidecar → peek one recording (host numpy load of a legacy cache,
+    # never staged on device).
+    num_channels = cfg.get("num_channels")
+    if not num_channels:
+        meta_path = os.path.join(cache_dir, "meta.json")
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                num_channels = json.load(f).get("num_channels")
+    if not num_channels:
         x = np.load(os.path.join(cache_dir, "x_dict.npy"),
                     allow_pickle=True).item()
-        num_channels = int(next(iter(x.values())).shape[0])
-    return len(subjects), num_channels, seq_len
+        num_channels = next(iter(x.values())).shape[0]
+    return len(subjects), int(num_channels), seq_len
 
 
 def run(cfg: Config) -> str:

@@ -113,26 +113,46 @@ def expand_multirun(argv):
     return [base + list(job) for job in itertools.product(*axes)]
 
 
-def run_multirun(jobs, dispatch, default_config_name="config"):
-    """Run one composed job per override set, each under
-    ``{save_root}/multirun/{job_num}`` (Hydra's per-job output dirs), with
-    the job's overrides recorded beside its outputs.  Returns the list of
-    per-job results; a failed job records the error and the sweep
-    continues (Hydra basic launcher behavior)."""
+def run_multirun(jobs, dispatch, default_config_name="config",
+                 remap_save_root=True):
+    """Run one composed job per override set under a TIMESTAMPED sweep dir
+    ``{save_root}/multirun/{stamp}/{job_num}`` (Hydra's layout — reruns of
+    different sweeps never mix artifacts in the same job dirs), recording
+    each job's overrides and result beside its outputs.  Returns the list
+    of per-job results; a failed job records the error and the sweep
+    continues (Hydra basic launcher behavior).
+
+    ``remap_save_root``: for TRAIN sweeps, each job's ``save_root`` becomes
+    its job dir (checkpoints/metrics are outputs).  For EVALUATE sweeps it
+    must stay False — there ``save_root`` is an INPUT (the checkpoint
+    location); jobs read the one trained model and only the sweep records
+    go under the job dirs."""
+    import json
+    import time
+
     results = []
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
     for num, job_argv in enumerate(jobs):
         cfg = parse_cli_auto(job_argv, default_config_name=default_config_name)
-        cfg.save_root = os.path.join(cfg.get("save_root", "runs_out"),
-                                     "multirun", str(num))
-        os.makedirs(cfg.save_root, exist_ok=True)
-        with open(os.path.join(cfg.save_root, "overrides.txt"), "w") as f:
+        job_dir = os.path.join(cfg.get("save_root", "runs_out"),
+                               "multirun", stamp, str(num))
+        os.makedirs(job_dir, exist_ok=True)
+        with open(os.path.join(job_dir, "overrides.txt"), "w") as f:
             f.write("\n".join(job_argv) + "\n")
+        if remap_save_root:
+            cfg.save_root = job_dir
         print(f"[multirun] job {num}: {' '.join(job_argv)}")
         try:
-            results.append(dispatch(cfg))
+            r = dispatch(cfg)
         except Exception as e:  # noqa: BLE001 — sweep survives a bad point
             print(f"[multirun] job {num} FAILED: {type(e).__name__}: {e}")
-            results.append({"error": f"{type(e).__name__}: {e}"})
+            r = {"error": f"{type(e).__name__}: {e}"}
+        results.append(r)
+        try:
+            with open(os.path.join(job_dir, "result.json"), "w") as f:
+                json.dump(r, f, default=str)
+        except TypeError:
+            pass
     for num, r in enumerate(results):
         print(f"[multirun] job {num} result: {r}")
     return results
@@ -144,7 +164,7 @@ def train_main(argv=None):
     ``meg-decode-train dataset=GOD epochs=10``).  ``-m``/``--multirun``
     sweeps comma-separated override values as a grid, one job per point
     (``meg-decode-train -m dataset=GOD lr=1e-3,3e-4 seed=0,1`` → 4 jobs
-    under ``{save_root}/multirun/{0..3}``)."""
+    under ``{save_root}/multirun/{timestamp}/{0..3}``)."""
     argv = list(sys.argv[1:] if argv is None else argv)
     jobs = expand_multirun(argv)
     if jobs is not None:
@@ -174,7 +194,10 @@ def evaluate_main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     jobs = expand_multirun(argv)
     if jobs is not None:
+        # save_root is an INPUT for evaluation (where the checkpoint
+        # lives) — never remapped per job
         return run_multirun(jobs, dispatch_evaluate,
-                            default_config_name="config_GOD")
+                            default_config_name="config_GOD",
+                            remap_save_root=False)
     return dispatch_evaluate(parse_cli_auto(argv,
                                             default_config_name="config_GOD"))

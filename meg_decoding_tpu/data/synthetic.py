@@ -69,6 +69,10 @@ def make_synthetic_gwilliams_cache(cache_dir: str, n_subjects: int = 2,
 
     np.save(os.path.join(cache_dir, "layout.npy"),
             synthetic_cap_locations(C).astype(np.float32))
+    # channel-count sidecar, as scripts/build_gwilliams_cache.py writes
+    # (metadata-only consumers read this instead of the multi-GB x_dict)
+    with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+        json.dump({"num_channels": int(C)}, f)
     np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "y_dict.npy"), y_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets,

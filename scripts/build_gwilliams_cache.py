@@ -175,6 +175,15 @@ def build_x(cfg, cache_dir):
 
     if layout is not None:
         np.save(os.path.join(cache_dir, "layout.npy"), layout)
+    # small metadata sidecar so metadata-only consumers (cli/export_model)
+    # never have to load the multi-GB x_dict just for the channel count
+    # (layout.npy rows are NOT a substitute: KIT layouts can carry more
+    # positions than recorded channels)
+    import json as _json
+
+    C_data = int(next(iter(x_dict.values())).shape[0]) if x_dict else 0
+    with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+        _json.dump({"num_channels": C_data}, f)
     np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
     np.save(os.path.join(cache_dir, "speech_onsets.npy"), speech_onsets,

@@ -256,9 +256,33 @@ class TestMultirun:
         results = train_main(["-m", "--config-path", cfg_dir,
                               "--config-name", "god_smoke", "seed=0,1"])
         assert len(results) == 2
+        stamps = os.listdir(os.path.join(save_root, "multirun"))
+        assert len(stamps) == 1  # one timestamped sweep dir (Hydra layout)
+        sweep = os.path.join(save_root, "multirun", stamps[0])
         for num in (0, 1):
-            job_dir = os.path.join(save_root, "multirun", str(num))
+            job_dir = os.path.join(sweep, str(num))
             assert os.path.isdir(os.path.join(job_dir, "ckpt"))
             with open(os.path.join(job_dir, "overrides.txt")) as f:
                 assert f"seed={num}" in f.read().split()
+            assert os.path.exists(os.path.join(job_dir, "result.json"))
             assert np.isfinite(results[num]["train_loss"])
+
+    def test_evaluate_sweep_keeps_save_root_as_checkpoint_input(
+            self, trained, tmp_path):
+        """`meg-decode-evaluate -m` must NOT remap save_root per job:
+        save_root is where the trained checkpoint LIVES — every sweep job
+        reads the one model and must succeed (a remap sent each job to an
+        empty multirun/{n}/ckpt and 100% of jobs failed)."""
+        from meg_decoding_tpu.cli.main import evaluate_main
+
+        cfg, save_root, _ = trained
+        cfg_dir = str(tmp_path / "cfg")
+        os.makedirs(cfg_dir)
+        with open(os.path.join(cfg_dir, "god_eval.yaml"), "w") as f:
+            yaml.safe_dump(to_dict(cfg), f)
+        results = evaluate_main(["-m", "--config-path", cfg_dir,
+                                 "--config-name", "god_eval", "seed=0,1"])
+        assert len(results) == 2
+        for r in results:
+            assert "error" not in r, r
+            assert np.isfinite(r["pairwise_correlation"])

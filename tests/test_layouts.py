@@ -30,6 +30,8 @@ class TestEasycapM10:
     def test_shape_and_vertex(self):
         loc = easycap_m10_locations()
         assert loc.shape == (61, 2)
+        # site 1 is the vertex (projection origin)
+        np.testing.assert_allclose(loc[0], [0.0, 0.0], atol=1e-6)
 
     @pytest.mark.skipif(
         not os.path.exists(_EASYCAP_MNE_GOLDEN),
@@ -45,8 +47,6 @@ class TestEasycapM10:
         got = normalize_locations(easycap_m10_locations())
         want = normalize_locations(ref[:, :2])
         assert np.abs(got - want).max() <= 0.02
-        # site 1 is the vertex (projection origin)
-        np.testing.assert_allclose(loc[0], [0.0, 0.0], atol=1e-6)
 
     def test_equidistant_ring_structure(self):
         """61 electrodes on rings of 1/6/12/18/24 at equally spaced radii —
