@@ -24,9 +24,11 @@ def test_bench_tiny_emits_all_rows():
     row = json.loads(p.stdout.strip().splitlines()[-1])
     assert row["metric"] == "gwilliams_train_samples_per_sec_per_chip"
     assert row["value"] > 0 and "error" not in row
+    # tiny mode uses B2=16, so the batch-scaling rows are b16_* (full-scale
+    # runs produce b256_/b512_/b1024_ via --big-batches)
     for key in ["scan_epoch_samples_per_sec", "bf16_samples_per_sec",
-                "b256_bf16_samples_per_sec",
-                "b256_bf16_cached_stats_samples_per_sec",
+                "b16_bf16_samples_per_sec",
+                "b16_bf16_cached_stats_samples_per_sec",
                 "collate_stats_sweep_sec", "eval_ms_per_pool",
                 "sentence_split_full_scale_ok", "vs_baseline_1thread"]:
         assert key in row, key
