@@ -92,7 +92,10 @@ def run(cfg: Config) -> dict:
     optimizer = make_optimizer(cfg, int(cfg.get("updates", 1200)))
     example = source.gather(np.arange(min(len(source), 8)))
     abstract = create_train_state(model, optimizer, example, jax.random.PRNGKey(0))
-    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    # ckpt_dir override: where the checkpoint LIVES may differ from
+    # where outputs go (multirun eval sweeps remap save_root per job)
+    ckpt = CheckpointManager(cfg.get("ckpt_dir")
+                             or os.path.join(save_root, "ckpt"))
     state, which = ckpt.load_best_or_last(abstract)
     print(f"loaded checkpoint: {which}")
 

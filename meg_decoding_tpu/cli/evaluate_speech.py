@@ -52,7 +52,10 @@ def run(cfg: Config) -> dict:
     example = test_set.gather(np.arange(min(len(test_set), 8)))
     abstract = create_train_state(model, optimizer, example[:3],
                                   jax.random.PRNGKey(seed))
-    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    # ckpt_dir override: where the checkpoint LIVES may differ from
+    # where outputs go (multirun eval sweeps remap save_root per job)
+    ckpt = CheckpointManager(cfg.get("ckpt_dir")
+                             or os.path.join(save_root, "ckpt"))
     state, which = ckpt.load_best_or_last(abstract)
     print(f"loaded checkpoint: {which}")
 

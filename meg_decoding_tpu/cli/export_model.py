@@ -30,8 +30,11 @@ __all__ = ["run", "main"]
 
 
 def _gwilliams_export_meta(cfg) -> tuple[int, int, int]:
-    """(num_subjects, num_channels, seq_len) from cache metadata only — the
-    tiny onset table + ``layout.npy``, never the recordings.  Matches
+    """(num_subjects, num_channels, seq_len) without staging the packed
+    recordings on device: subjects from the tiny onset table, channel count
+    from config → cache ``meta.json`` sidecar → host-side peek of one
+    recording (legacy caches only — that last resort does load the
+    multi-GB ``x_dict.npy`` into host RAM).  Matches
     ``build_gwilliams_dataset``'s own derivations (data/gwilliams.py)."""
     from meg_decoding_tpu.cli.train_speech import find_gwilliams_cache
     from meg_decoding_tpu.data.gwilliams import parse_sessions
@@ -61,6 +64,11 @@ def _gwilliams_export_meta(cfg) -> tuple[int, int, int]:
     if not num_channels:
         x = np.load(os.path.join(cache_dir, "x_dict.npy"),
                     allow_pickle=True).item()
+        if not x:
+            raise ValueError(
+                f"cache {cache_dir} holds no recordings — cannot derive "
+                "the export's channel count (pass num_channels=… or "
+                "rebuild the cache)")
         num_channels = next(iter(x.values())).shape[0]
     return len(subjects), int(num_channels), seq_len
 
@@ -109,7 +117,10 @@ def run(cfg: Config) -> str:
     optimizer = make_optimizer(cfg, int(cfg.get("updates", 1200)))
     abstract = create_train_state(model, optimizer, example[:3],
                                   jax.random.PRNGKey(seed))
-    ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
+    # ckpt_dir override: where the checkpoint LIVES may differ from
+    # where outputs go (multirun eval sweeps remap save_root per job)
+    ckpt = CheckpointManager(cfg.get("ckpt_dir")
+                             or os.path.join(save_root, "ckpt"))
     state, which = ckpt.load_best_or_last(abstract)
     print(f"exporting checkpoint: {which}")
 

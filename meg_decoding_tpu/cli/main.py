@@ -113,8 +113,25 @@ def expand_multirun(argv):
     return [base + list(job) for job in itertools.product(*axes)]
 
 
+def _claim_sweep_dir(save_root: str) -> str:
+    """Create a fresh ``{save_root}/multirun/{stamp}`` dir — collision-proof
+    even for sweeps launched within the same second (a ``-1``/``-2`` suffix
+    claims a new dir atomically via makedirs(exist_ok=False))."""
+    import time
+
+    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+    for suffix in [""] + [f"-{i}" for i in range(1, 1000)]:
+        sweep_dir = os.path.join(save_root, "multirun", stamp + suffix)
+        try:
+            os.makedirs(sweep_dir, exist_ok=False)
+            return sweep_dir
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"could not claim a sweep dir under {save_root}")
+
+
 def run_multirun(jobs, dispatch, default_config_name="config",
-                 remap_save_root=True):
+                 checkpoint_is_input=False):
     """Run one composed job per override set under a TIMESTAMPED sweep dir
     ``{save_root}/multirun/{stamp}/{job_num}`` (Hydra's layout — reruns of
     different sweeps never mix artifacts in the same job dirs), recording
@@ -122,25 +139,27 @@ def run_multirun(jobs, dispatch, default_config_name="config",
     of per-job results; a failed job records the error and the sweep
     continues (Hydra basic launcher behavior).
 
-    ``remap_save_root``: for TRAIN sweeps, each job's ``save_root`` becomes
-    its job dir (checkpoints/metrics are outputs).  For EVALUATE sweeps it
-    must stay False — there ``save_root`` is an INPUT (the checkpoint
-    location); jobs read the one trained model and only the sweep records
-    go under the job dirs."""
+    Every job's ``save_root`` becomes its own job dir, so per-job OUTPUTS
+    (checkpoints, metrics, eval artifacts like top5.csv) never clobber each
+    other.  ``checkpoint_is_input=True`` (evaluate/export sweeps)
+    additionally pins ``cfg.ckpt_dir`` to the ORIGINAL ``{save_root}/ckpt``
+    — there the checkpoint is an input every job must read."""
     import json
-    import time
 
     results = []
-    stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+    sweep_dirs = {}  # save_root → claimed sweep dir (save_root may be swept)
     for num, job_argv in enumerate(jobs):
         cfg = parse_cli_auto(job_argv, default_config_name=default_config_name)
-        job_dir = os.path.join(cfg.get("save_root", "runs_out"),
-                               "multirun", stamp, str(num))
+        save_root = cfg.get("save_root", "runs_out")
+        if save_root not in sweep_dirs:
+            sweep_dirs[save_root] = _claim_sweep_dir(save_root)
+        job_dir = os.path.join(sweep_dirs[save_root], str(num))
         os.makedirs(job_dir, exist_ok=True)
         with open(os.path.join(job_dir, "overrides.txt"), "w") as f:
             f.write("\n".join(job_argv) + "\n")
-        if remap_save_root:
-            cfg.save_root = job_dir
+        if checkpoint_is_input and not cfg.get("ckpt_dir"):
+            cfg.ckpt_dir = os.path.join(save_root, "ckpt")
+        cfg.save_root = job_dir
         print(f"[multirun] job {num}: {' '.join(job_argv)}")
         try:
             r = dispatch(cfg)
@@ -148,11 +167,11 @@ def run_multirun(jobs, dispatch, default_config_name="config",
             print(f"[multirun] job {num} FAILED: {type(e).__name__}: {e}")
             r = {"error": f"{type(e).__name__}: {e}"}
         results.append(r)
-        try:
-            with open(os.path.join(job_dir, "result.json"), "w") as f:
-                json.dump(r, f, default=str)
-        except TypeError:
-            pass
+        # serialize FIRST: a mid-dump failure must not leave a truncated,
+        # unparseable result.json behind
+        payload = json.dumps(r, default=str)
+        with open(os.path.join(job_dir, "result.json"), "w") as f:
+            f.write(payload)
     for num, r in enumerate(results):
         print(f"[multirun] job {num} result: {r}")
     return results
@@ -194,10 +213,10 @@ def evaluate_main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     jobs = expand_multirun(argv)
     if jobs is not None:
-        # save_root is an INPUT for evaluation (where the checkpoint
-        # lives) — never remapped per job
+        # the checkpoint under the original save_root is an INPUT every
+        # job reads; per-job eval artifacts go to the job dirs
         return run_multirun(jobs, dispatch_evaluate,
                             default_config_name="config_GOD",
-                            remap_save_root=False)
+                            checkpoint_is_input=True)
     return dispatch_evaluate(parse_cli_auto(argv,
                                             default_config_name="config_GOD"))

@@ -181,9 +181,10 @@ def build_x(cfg, cache_dir):
     # positions than recorded channels)
     import json as _json
 
-    C_data = int(next(iter(x_dict.values())).shape[0]) if x_dict else 0
-    with open(os.path.join(cache_dir, "meta.json"), "w") as f:
-        _json.dump({"num_channels": C_data}, f)
+    if x_dict:  # an empty build writes no sidecar (0 would be a lie)
+        C_data = int(next(iter(x_dict.values())).shape[0])
+        with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+            _json.dump({"num_channels": C_data}, f)
     np.save(os.path.join(cache_dir, "x_dict.npy"), x_dict, allow_pickle=True)
     np.save(os.path.join(cache_dir, "meg_onsets.npy"), meg_onsets, allow_pickle=True)
     np.save(os.path.join(cache_dir, "speech_onsets.npy"), speech_onsets,

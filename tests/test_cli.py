@@ -286,3 +286,11 @@ class TestMultirun:
         for r in results:
             assert "error" not in r, r
             assert np.isfinite(r["pairwise_correlation"])
+        # per-job OUTPUT isolation: each job wrote its own eval artifacts
+        # into its job dir (shared save_root would have been clobbered)
+        stamps = sorted(os.listdir(os.path.join(save_root, "multirun")))
+        sweep = os.path.join(save_root, "multirun", stamps[-1])
+        for num in (0, 1):
+            job_dir = os.path.join(sweep, str(num))
+            assert os.path.exists(os.path.join(job_dir, "result.json"))
+            assert os.path.exists(os.path.join(job_dir, "eval_results.json"))

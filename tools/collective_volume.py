@@ -10,7 +10,9 @@ permute), fusion-internal ops included.
 
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-    python tools/collective_volume.py [--batch 128] [--devices 8]
+    python tools/collective_volume.py [--batch 128] [--small]
+
+(device count comes from the XLA_FLAGS virtual-device setting)
 
 Prints one JSON line: bytes per step by op kind + totals.  Round-4 check:
 the y-only-gather CLIP loss (objectives/clip.py) must show ~half the
@@ -24,8 +26,6 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
 
 _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "u64": 8,
                 "s32": 4, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
@@ -58,8 +58,8 @@ def collective_bytes(hlo_text: str) -> dict:
     counts = {k: 0 for k in _COLLECTIVES}
     for line in hlo_text.splitlines():
         line = line.strip()
-        # '%name = TYPE[SHAPE] op-name(...)' — op must be the called op
-        m = re.match(r"%?[\w.\-]+ = (.+?) ([\w\-]+)\(", line)
+        # '[ROOT ]%name = TYPE[SHAPE] op-name(...)' — op must be the called op
+        m = re.match(r"(?:ROOT )?%?[\w.\-]+ = (.+?) ([\w\-]+)\(", line)
         if not m:
             continue
         shape_str, op = m.group(1), m.group(2)
@@ -67,6 +67,12 @@ def collective_bytes(hlo_text: str) -> dict:
             continue
         base = op[:-6] if op.endswith("-start") else op
         if base in _COLLECTIVES:
+            if op.endswith("-start") and shape_str.lstrip().startswith("("):
+                # async form: the result tuple is (operand, result[, ...]);
+                # the transferred buffer is the RESULT (last array shape),
+                # not the operand+result sum
+                shapes = re.findall(r"\w+\[[\d,]*\]", shape_str)
+                shape_str = shapes[-1] if shapes else shape_str
             out[base] += _shape_bytes(shape_str)
             counts[base] += 1
     return {"bytes": out, "counts": counts,
@@ -105,7 +111,6 @@ def lower_sharded_step(batch: int, loss_fn_name: str, C=208, F=1024,
     state = create_train_state(model, opt, (X, Y, subs),
                                jax.random.PRNGKey(0))
     state = jax.device_put(state, replicated(mesh))
-    shard = NamedSharding(mesh, P("data"))
     X, Y, subs = (jax.device_put(a, NamedSharding(
         mesh, P("data", *([None] * (a.ndim - 1))))) for a in (X, Y, subs))
 
