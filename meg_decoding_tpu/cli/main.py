@@ -168,8 +168,12 @@ def run_multirun(jobs, dispatch, default_config_name="config",
             r = {"error": f"{type(e).__name__}: {e}"}
         results.append(r)
         # serialize FIRST: a mid-dump failure must not leave a truncated,
-        # unparseable result.json behind
-        payload = json.dumps(r, default=str)
+        # unparseable result.json behind — and an unserializable result
+        # (e.g. tuple keys) must not kill the remaining sweep jobs
+        try:
+            payload = json.dumps(r, default=str)
+        except TypeError:
+            payload = json.dumps({"unserializable_result": repr(r)})
         with open(os.path.join(job_dir, "result.json"), "w") as f:
             f.write(payload)
     for num, r in enumerate(results):

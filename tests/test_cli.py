@@ -294,3 +294,19 @@ class TestMultirun:
             job_dir = os.path.join(sweep, str(num))
             assert os.path.exists(os.path.join(job_dir, "result.json"))
             assert os.path.exists(os.path.join(job_dir, "eval_results.json"))
+
+    def test_same_second_sweeps_claim_distinct_dirs(self, tmp_path,
+                                                    monkeypatch):
+        """Two sweeps launched within one clock second must not share a
+        sweep dir (atomic makedirs + suffix claims)."""
+        import time
+
+        from meg_decoding_tpu.cli.main import _claim_sweep_dir
+
+        monkeypatch.setattr(time, "strftime", lambda fmt: "frozen")
+        a = _claim_sweep_dir(str(tmp_path))
+        b = _claim_sweep_dir(str(tmp_path))
+        assert a != b
+        assert os.path.isdir(a) and os.path.isdir(b)
+        assert sorted(os.listdir(os.path.join(str(tmp_path), "multirun"))) \
+            == ["frozen", "frozen-1"]
