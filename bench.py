@@ -266,6 +266,17 @@ def main():
             best = min(best, time.time() - t0)
         return best / updates
 
+    import sys
+
+    def _partial(extras_now):
+        """Stream the measured-so-far rows to stderr after every section —
+        a multi-hour full-scale run on a shared chip can die mid-flight
+        (round-4 lesson: a transient HBM OOM in one section threw away 40
+        minutes of measured rows); stdout still carries exactly ONE JSON
+        line at the end."""
+        print("# bench-partial: " + json.dumps(extras_now), file=sys.stderr,
+              flush=True)
+
     dt_f32 = bench_dtype(None)
     sps = B / dt_f32
     flops = _analytic_step_flops(B, C, seq_len, D1, D2, F, K)
@@ -281,11 +292,13 @@ def main():
         "scan_epoch_samples_per_sec": round(B / dt_scan, 2),
         "scan_epoch_mfu": round(flops / dt_scan / V5E_PEAK_FLOPS, 4),
     }
+    _partial(extras)
     if not args.skip_bf16:
         dt_bf16 = bench_dtype(jnp.bfloat16)
         extras["bf16_samples_per_sec"] = round(B / dt_bf16, 2)
         extras["bf16_mfu_vs_v5e_bf16_peak"] = round(
             flops / dt_bf16 / V5E_PEAK_FLOPS, 4)
+        _partial(extras)
 
     if not args.skip_b256:
         # throughput-optimal configurations (the reference trains at B=64;
@@ -311,6 +324,7 @@ def main():
                     flops_b / dt_b / V5E_PEAK_FLOPS, 4)
                 if tag == "bf16_" and bx / dt_b > best_bf16_sps:
                     best_bf16_sps, best_bf16_batch = bx / dt_b, bx
+                _partial(extras)
 
     if not args.skip_cached_stats:
         # cache_collate_stats=true: per-window RobustScaler fits precomputed
@@ -320,14 +334,36 @@ def main():
         t0 = time.time()
         from meg_decoding_tpu.data.gwilliams import compute_collate_stats
 
-        stats = compute_collate_stats(packed, collate_cfg.baseline_len_samp)
-        float(stats[0, 0])  # force completion through the relay
+        # OOM-guarded like the batch rows (a shared chip can deny the
+        # ~0.9 GB table + sweep workspace at any moment); retry once with a
+        # 4x smaller sweep chunk before recording the error
+        stats = None
+        try:
+            stats = compute_collate_stats(packed,
+                                          collate_cfg.baseline_len_samp)
+            float(stats[0, 0])  # force completion through the relay
+        except Exception as e:  # noqa: BLE001
+            extras["collate_stats_sweep_retry"] = type(e).__name__
+            stats = None
+            try:
+                stats = compute_collate_stats(
+                    packed, collate_cfg.baseline_len_samp, chunk=128)
+                float(stats[0, 0])
+            except Exception as e2:  # noqa: BLE001
+                extras["cached_stats_error"] = type(e2).__name__
+                stats = None
+    if not args.skip_cached_stats and stats is not None:
         extras["collate_stats_sweep_sec"] = round(time.time() - t0, 2)
         extras["collate_stats_hbm_gb"] = round(stats.size * 4 / 1e9, 2)
         # reuse the timed table for both rows — re-sweeping costs ~10 s and
         # a transient second ~0.9 GB table per row at full scale
-        dtc = bench_dtype(None, cache_stats=stats)
-        extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
+        try:
+            dtc = bench_dtype(None, cache_stats=stats)
+        except Exception as e:  # noqa: BLE001
+            extras["cached_stats_error"] = type(e).__name__
+        else:
+            extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
+        _partial(extras)
         if not args.skip_bf16 and not args.skip_b256:
             # cached stats at the best-measured bf16 batch — the candidate
             # "promoted" throughput configuration (VERDICT r3 #2).  OOM-
@@ -345,6 +381,7 @@ def main():
                     _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
                     / dtcb / V5E_PEAK_FLOPS, 4)
         del stats  # free the ~0.9 GB table before the split-check section
+        _partial(extras)
 
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------
     # the trainer scores EVERY test pool each epoch (train/loop.py
@@ -381,6 +418,7 @@ def main():
     extras["eval_ms_per_pool"] = round(best_eval * 1e3, 2)
     extras["eval_sweep_epoch_fraction"] = round(
         (n_pools * best_eval) / (updates * dt_f32), 4)
+    _partial(extras)
 
     # ---- full-scale sentence-split HBM fit (VERDICT r2 weak #1) ------------
     # train/test splits ALIAS one recordings/y_stream buffer (the builder's
