@@ -277,6 +277,19 @@ def main():
         print("# bench-partial: " + json.dumps(extras_now), file=sys.stderr,
               flush=True)
 
+    def _cleanup():
+        """Best-effort HBM recovery after a failed (OOM) row: drop Python
+        refs, then the live jit executable caches — their compiled
+        artifacts persist in .jax_cache, so re-tracing is cheap.  A failed
+        donated-argument execution on the axon backend can strand device
+        buffers until the executable dies (observed round 4: after a
+        failed B=1024 row even a 1 MB allocation was denied)."""
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
+
     dt_f32 = bench_dtype(None)
     sps = B / dt_f32
     flops = _analytic_step_flops(B, C, seq_len, D1, D2, F, K)
@@ -299,32 +312,6 @@ def main():
         extras["bf16_mfu_vs_v5e_bf16_peak"] = round(
             flops / dt_bf16 / V5E_PEAK_FLOPS, 4)
         _partial(extras)
-
-    if not args.skip_b256:
-        # throughput-optimal configurations (the reference trains at B=64;
-        # a TPU-first framework publishes its batch-scaling curve too).
-        # Each row is OOM-guarded: at B=1024 the seq2seq activations are
-        # ~1.5 GB apiece beside the 9.34 GB resident dataset, so a row that
-        # doesn't fit records the error instead of killing the bench.
-        batches = [B2] + ([] if args.tiny else
-                          [int(b) for b in args.big_batches.split(",") if b])
-        best_bf16_sps, best_bf16_batch = 0.0, B2
-        for bx in batches:
-            flops_b = _analytic_step_flops(bx, C, seq_len, D1, D2, F, K)
-            for dtype, tag in ((None, ""), (jnp.bfloat16, "bf16_")):
-                if dtype is not None and args.skip_bf16:
-                    continue
-                try:
-                    dt_b = bench_dtype(dtype, batch=bx)
-                except Exception as e:  # noqa: BLE001 — record OOM, keep going
-                    extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
-                    continue
-                extras[f"b{bx}_{tag}samples_per_sec"] = round(bx / dt_b, 2)
-                extras[f"b{bx}_{tag}mfu_vs_v5e_bf16_peak"] = round(
-                    flops_b / dt_b / V5E_PEAK_FLOPS, 4)
-                if tag == "bf16_" and bx / dt_b > best_bf16_sps:
-                    best_bf16_sps, best_bf16_batch = bx / dt_b, bx
-                _partial(extras)
 
     if not args.skip_cached_stats:
         # cache_collate_stats=true: per-window RobustScaler fits precomputed
@@ -352,6 +339,7 @@ def main():
             except Exception as e2:  # noqa: BLE001
                 extras["cached_stats_error"] = type(e2).__name__
                 stats = None
+                _cleanup()
     if not args.skip_cached_stats and stats is not None:
         extras["collate_stats_sweep_sec"] = round(time.time() - t0, 2)
         extras["collate_stats_hbm_gb"] = round(stats.size * 4 / 1e9, 2)
@@ -363,24 +351,7 @@ def main():
             extras["cached_stats_error"] = type(e).__name__
         else:
             extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
-        _partial(extras)
-        if not args.skip_bf16 and not args.skip_b256:
-            # cached stats at the best-measured bf16 batch — the candidate
-            # "promoted" throughput configuration (VERDICT r3 #2).  OOM-
-            # guarded like the batch rows: the ~0.9 GB stats table makes
-            # this strictly hungrier than the bare row that picked bb
-            bb = best_bf16_batch
-            try:
-                dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats)
-            except Exception as e:  # noqa: BLE001
-                extras[f"b{bb}_bf16_cached_stats_error"] = type(e).__name__
-            else:
-                extras[f"b{bb}_bf16_cached_stats_samples_per_sec"] = round(
-                    bb / dtcb, 2)
-                extras[f"b{bb}_bf16_cached_stats_mfu"] = round(
-                    _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
-                    / dtcb / V5E_PEAK_FLOPS, 4)
-        del stats  # free the ~0.9 GB table before the split-check section
+        del stats  # free the ~0.9 GB table before the next sections
         _partial(extras)
 
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------
@@ -404,20 +375,24 @@ def main():
         m, _ = eval_step(st_eval.params, st_eval.batch_stats, X, Y, subs)
         return m
 
-    float(one_pool(0)["loss"])  # compile + warm
-    best_eval = float("inf")
-    for w in range(args.windows):
-        t0 = time.time()
-        for i in range(5):
-            m = one_pool(10 + w * 5 + i)
-        float(m["loss"])
-        best_eval = min(best_eval, (time.time() - t0) / 5)
-    n_test = max(int(0.2 * len(packed)), B)  # 80/20 split's test segments
-    n_pools = max(n_test // B, 1)
-    updates = 1200
-    extras["eval_ms_per_pool"] = round(best_eval * 1e3, 2)
-    extras["eval_sweep_epoch_fraction"] = round(
-        (n_pools * best_eval) / (updates * dt_f32), 4)
+    try:
+        float(one_pool(0)["loss"])  # compile + warm
+        best_eval = float("inf")
+        for w in range(args.windows):
+            t0 = time.time()
+            for i in range(5):
+                m = one_pool(10 + w * 5 + i)
+            float(m["loss"])
+            best_eval = min(best_eval, (time.time() - t0) / 5)
+        n_test = max(int(0.2 * len(packed)), B)  # 80/20 split's test segs
+        n_pools = max(n_test // B, 1)
+        updates = 1200
+        extras["eval_ms_per_pool"] = round(best_eval * 1e3, 2)
+        extras["eval_sweep_epoch_fraction"] = round(
+            (n_pools * best_eval) / (updates * dt_f32), 4)
+    except Exception as e:  # noqa: BLE001 — record, keep the rows we have
+        extras["eval_sweep_error"] = type(e).__name__
+        _cleanup()
     _partial(extras)
 
     # ---- full-scale sentence-split HBM fit (VERDICT r2 weak #1) ------------
@@ -428,36 +403,97 @@ def main():
     if not args.skip_split_check:
         import dataclasses
 
-        words_total = int(packed.n_words[0])
-        n_tr = int(words_total * 0.8)
-        tr = dataclasses.replace(
-            packed,
-            meg_onsets=packed.meg_onsets[:, :, :n_tr],
-            speech_onsets=packed.speech_onsets[:, :n_tr],
-            n_words=np.full(4, n_tr), _seg_table=None)
-        te = dataclasses.replace(
-            packed,
-            meg_onsets=packed.meg_onsets[:, :, n_tr:],
-            speech_onsets=packed.speech_onsets[:, n_tr:],
-            n_words=np.full(4, words_total - n_tr), _seg_table=None)
-        assert tr.recordings is packed.recordings  # aliased, not copied
-        model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
-                             seq2seq=True, dtype=None)
-        st2 = create_train_state(model, optimizer, example,
-                                 jax.random.PRNGKey(1))
-        fused_tr = make_fused_speech_step(model, optimizer, loss_cfg,
-                                          collate_cfg, tr)
-        for i in range(3):
-            st2, m = fused_tr(st2, rng.randint(0, len(tr), B),
-                              jax.random.PRNGKey(100 + i))
-        train_loss = float(m["loss"])
-        X, Y, subs, _ = gather_speech_batch(te, rng.randint(0, len(te), B),
-                                            jax.random.PRNGKey(200))
-        em, _ = eval_step(st2.params, st2.batch_stats, X, Y, subs)
-        assert np.isfinite(train_loss) and np.isfinite(float(em["loss"]))
-        extras["sentence_split_full_scale_ok"] = True
-        extras["sentence_split_hbm_gb"] = round(
-            (packed.recordings.size + packed.y_stream.size) * 4 / 1e9, 2)
+        try:
+            words_total = int(packed.n_words[0])
+            n_tr = int(words_total * 0.8)
+            tr = dataclasses.replace(
+                packed,
+                meg_onsets=packed.meg_onsets[:, :, :n_tr],
+                speech_onsets=packed.speech_onsets[:, :n_tr],
+                n_words=np.full(4, n_tr), _seg_table=None)
+            te = dataclasses.replace(
+                packed,
+                meg_onsets=packed.meg_onsets[:, :, n_tr:],
+                speech_onsets=packed.speech_onsets[:, n_tr:],
+                n_words=np.full(4, words_total - n_tr), _seg_table=None)
+            assert tr.recordings is packed.recordings  # aliased, not copied
+            model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F,
+                                 K=K, seq2seq=True, dtype=None)
+            st2 = create_train_state(model, optimizer, example,
+                                     jax.random.PRNGKey(1))
+            fused_tr = make_fused_speech_step(model, optimizer, loss_cfg,
+                                              collate_cfg, tr)
+            for i in range(3):
+                st2, m = fused_tr(st2, rng.randint(0, len(tr), B),
+                                  jax.random.PRNGKey(100 + i))
+            train_loss = float(m["loss"])
+            X, Y, subs, _ = gather_speech_batch(
+                te, rng.randint(0, len(te), B), jax.random.PRNGKey(200))
+            em, _ = eval_step(st2.params, st2.batch_stats, X, Y, subs)
+            assert np.isfinite(train_loss) and np.isfinite(float(em["loss"]))
+            extras["sentence_split_full_scale_ok"] = True
+            extras["sentence_split_hbm_gb"] = round(
+                (packed.recordings.size + packed.y_stream.size) * 4 / 1e9, 2)
+            del st2, fused_tr, X, Y
+        except Exception as e:  # noqa: BLE001
+            extras["sentence_split_full_scale_ok"] = False
+            extras["sentence_split_error"] = type(e).__name__
+            _cleanup()
+        _partial(extras)
+
+    # ---- batch-scaling rows (LAST: a failed big-batch attempt can strand
+    # HBM on this backend — everything after it would inherit a poisoned
+    # allocator, so nothing measurement-critical runs after this section) --
+    if not args.skip_b256:
+        # throughput-optimal configurations (the reference trains at B=64;
+        # a TPU-first framework publishes its batch-scaling curve too).
+        # Each row is OOM-guarded: at B=1024 the seq2seq activations are
+        # ~1.5 GB apiece beside the 9.34 GB resident dataset, so a row that
+        # doesn't fit records the error instead of killing the bench.
+        batches = [B2] + ([] if args.tiny else
+                          [int(b) for b in args.big_batches.split(",") if b])
+        best_bf16_sps, best_bf16_batch = 0.0, B2
+        for bx in batches:
+            flops_b = _analytic_step_flops(bx, C, seq_len, D1, D2, F, K)
+            for dtype, tag in ((None, ""), (jnp.bfloat16, "bf16_")):
+                if dtype is not None and args.skip_bf16:
+                    continue
+                try:
+                    dt_b = bench_dtype(dtype, batch=bx)
+                except Exception as e:  # noqa: BLE001 — record OOM, keep going
+                    extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
+                    _cleanup()
+                    continue
+                extras[f"b{bx}_{tag}samples_per_sec"] = round(bx / dt_b, 2)
+                extras[f"b{bx}_{tag}mfu_vs_v5e_bf16_peak"] = round(
+                    flops_b / dt_b / V5E_PEAK_FLOPS, 4)
+                if tag == "bf16_" and bx / dt_b > best_bf16_sps:
+                    best_bf16_sps, best_bf16_batch = bx / dt_b, bx
+                _partial(extras)
+
+        if not args.skip_bf16 and not args.skip_cached_stats \
+                and best_bf16_batch != B:
+            # cached stats at the best-measured bf16 batch — the candidate
+            # "promoted" throughput configuration (VERDICT r3 #2).  Re-runs
+            # the ~10 s sweep (cheaper than holding the 0.9 GB table across
+            # the big-batch attempts above); OOM-guarded end to end
+            bb = best_bf16_batch
+            try:
+                stats2 = compute_collate_stats(packed,
+                                               collate_cfg.baseline_len_samp)
+                float(stats2[0, 0])
+                dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats2)
+            except Exception as e:  # noqa: BLE001
+                extras[f"b{bb}_bf16_cached_stats_error"] = type(e).__name__
+                _cleanup()
+            else:
+                extras[f"b{bb}_bf16_cached_stats_samples_per_sec"] = round(
+                    bb / dtcb, 2)
+                extras[f"b{bb}_bf16_cached_stats_mfu"] = round(
+                    _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
+                    / dtcb / V5E_PEAK_FLOPS, 4)
+                del stats2
+            _partial(extras)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "baseline_measured.json")
