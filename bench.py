@@ -453,31 +453,12 @@ def main():
         batches = [B2] + ([] if args.tiny else
                           [int(b) for b in args.big_batches.split(",") if b])
         best_bf16_sps, best_bf16_batch = 0.0, B2
-        for bx in batches:
-            flops_b = _analytic_step_flops(bx, C, seq_len, D1, D2, F, K)
-            for dtype, tag in ((None, ""), (jnp.bfloat16, "bf16_")):
-                if dtype is not None and args.skip_bf16:
-                    continue
-                try:
-                    dt_b = bench_dtype(dtype, batch=bx)
-                except Exception as e:  # noqa: BLE001 — record OOM, keep going
-                    extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
-                    _cleanup()
-                    continue
-                extras[f"b{bx}_{tag}samples_per_sec"] = round(bx / dt_b, 2)
-                extras[f"b{bx}_{tag}mfu_vs_v5e_bf16_peak"] = round(
-                    flops_b / dt_b / V5E_PEAK_FLOPS, 4)
-                if tag == "bf16_" and bx / dt_b > best_bf16_sps:
-                    best_bf16_sps, best_bf16_batch = bx / dt_b, bx
-                _partial(extras)
 
-        if not args.skip_bf16 and not args.skip_cached_stats \
-                and best_bf16_batch != B:
-            # cached stats at the best-measured bf16 batch — the candidate
-            # "promoted" throughput configuration (VERDICT r3 #2).  Re-runs
-            # the ~10 s sweep (cheaper than holding the 0.9 GB table across
-            # the big-batch attempts above); OOM-guarded end to end
-            bb = best_bf16_batch
+        def _cached_row(bb):
+            """Cached-collate-stats row at batch bb (bf16) — the candidate
+            "promoted" throughput configuration (VERDICT r3 #2).  Re-runs
+            the ~20 s sweep (cheaper than holding the 0.9 GB table across
+            other rows); OOM-guarded end to end."""
             try:
                 stats2 = compute_collate_stats(packed,
                                                collate_cfg.baseline_len_samp)
@@ -494,6 +475,37 @@ def main():
                     / dtcb / V5E_PEAK_FLOPS, 4)
                 del stats2
             _partial(extras)
+
+        for bx in batches:
+            flops_b = _analytic_step_flops(bx, C, seq_len, D1, D2, F, K)
+            # bf16 BEFORE f32 at each size: the smaller-footprint row is
+            # the interesting one, and a failed f32 attempt can poison the
+            # allocator for everything after it on this backend
+            for dtype, tag in ((jnp.bfloat16, "bf16_"), (None, "")):
+                if dtype is not None and args.skip_bf16:
+                    continue
+                try:
+                    dt_b = bench_dtype(dtype, batch=bx)
+                except Exception as e:  # noqa: BLE001 — record OOM, keep going
+                    extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
+                    _cleanup()
+                    continue
+                extras[f"b{bx}_{tag}samples_per_sec"] = round(bx / dt_b, 2)
+                extras[f"b{bx}_{tag}mfu_vs_v5e_bf16_peak"] = round(
+                    flops_b / dt_b / V5E_PEAK_FLOPS, 4)
+                if tag == "bf16_" and bx / dt_b > best_bf16_sps:
+                    best_bf16_sps, best_bf16_batch = bx / dt_b, bx
+                _partial(extras)
+            if bx == B2 and not args.skip_bf16 and not args.skip_cached_stats:
+                # the promoted-config row runs BEFORE any bigger batch is
+                # attempted — a big-batch OOM can strand HBM for the rest
+                # of the process (observed round 4), and this is the row
+                # that settles the MFU question
+                _cached_row(B2)
+
+        if not args.skip_bf16 and not args.skip_cached_stats \
+                and best_bf16_batch != B2:
+            _cached_row(best_bf16_batch)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "tools", "baseline_measured.json")
