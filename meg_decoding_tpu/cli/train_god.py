@@ -53,6 +53,7 @@ def _loss_config(cfg) -> LossConfig:
         smooth_value=float(cfg.get("smooth_value", 0.1)),
         label_offset=1,  # GOD vec_index is 1-indexed (loss.py:191)
         temp_trainable=bool(cfg.get("temp_trainable", True)),
+        clip_impl=str(cfg.select("loss.clip_impl", "factored")),
     )
 
 

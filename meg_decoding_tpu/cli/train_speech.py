@@ -316,7 +316,9 @@ def run(cfg: Config) -> dict:
     )
     loss_cfg = LossConfig(kind=cfg.select("loss.kind", "clip"),
                           reduction=cfg.get("reduction", "mean"),
-                          temp_trainable=bool(cfg.get("temp_trainable", True)))
+                          temp_trainable=bool(cfg.get("temp_trainable", True)),
+                          clip_impl=str(cfg.select("loss.clip_impl",
+                                                   "factored")))
 
     updates = int(cfg.get("updates", 1200))
     optimizer = make_optimizer(cfg, updates)

@@ -75,6 +75,15 @@ class BrainEncoder(nn.Module):
     num_blocks: int = 5
     dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params f32
     bn_impl: str = "auto"  # ConvBlock FusedBatchNorm stats ('xla' under mesh)
+    # tanh-approximate GELU everywhere (ConvBlocks + final projections):
+    # opt-in perf deviation, see models/layers.py ConvBlock
+    gelu_approximate: bool = False
+    # emit_f32=False keeps Z in the compute dtype (bf16) into the loss —
+    # symmetric with the bf16 Y-gather cast (PARITY deviation 15); the
+    # factored CLIP loss still accumulates the logits and norms in f32
+    # (objectives/clip.py).  Default True: loss/metrics see f32 exactly as
+    # the reference's f32 model emits.
+    emit_f32: bool = True
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
@@ -90,21 +99,28 @@ class BrainEncoder(nn.Module):
         )(X, subject_idxs, train=train)
         for k in range(self.num_blocks):
             X = ConvBlock(k=k, D2=self.D2, dtype=self.dtype,
-                          bn_impl=self.bn_impl, name=f"conv{k}")(
+                          bn_impl=self.bn_impl,
+                          gelu_approximate=self.gelu_approximate,
+                          name=f"conv{k}")(
                 X, train=train)
         X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
                                  dtype=self.dtype,
                                  kernel_init=torch_kernel_init,
                                  bias_init=torch_bias_init(self.D2))(X),
-                        approximate=False)
+                        approximate=self.gelu_approximate)
         X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
                                  dtype=self.dtype,
                                  kernel_init=torch_kernel_init,
                                  bias_init=torch_bias_init(2 * self.D2))(X),
-                        approximate=False)
-        X = X.astype(jnp.float32)  # loss/metrics always run f32
+                        approximate=self.gelu_approximate)
+        if self.emit_f32:
+            X = X.astype(jnp.float32)  # loss/metrics always run f32
         if self.seq2seq:
             return jnp.swapaxes(X, 1, 2)  # (B, F, T) like the reference
+        # mean-pool reduces in f32 even when emitting bf16 (the ~360-term
+        # time average would lose precision accumulated in bf16)
+        if X.dtype == jnp.bfloat16:
+            return jnp.mean(X.astype(jnp.float32), axis=1).astype(X.dtype)
         return jnp.mean(X, axis=1)  # (B, F)
 
 

@@ -94,7 +94,16 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
     if name == "brain_encoder":
         assert loc is not None, "brain_encoder needs sensor locations"
         return BrainEncoder(loc=loc, seq2seq=bool(cfg.get("seq2seq", False)),
-                            dtype=_compute_dtype(cfg), **common)
+                            dtype=_compute_dtype(cfg),
+                            # tanh GELU: opt-in perf deviation (PARITY.md);
+                            # default erf matches torch F.gelu
+                            gelu_approximate=bool(
+                                cfg.get("gelu_approximate", False)),
+                            # bf16 Z into the loss (only meaningful with
+                            # compute_dtype: bfloat16) — PARITY deviation 15
+                            # extended to the Z side
+                            emit_f32=not bool(cfg.get("emit_bf16_z", False)),
+                            **common)
     if name == "brain_endcoder_seq2static":  # sic — reference's spelling
         assert loc is not None
         ks_list = list(cfg.select("ConvBlocks.ks", [3, 3, 3, 3, 3]))

@@ -221,6 +221,11 @@ class ConvBlock(nn.Module):
     bn_momentum: float = 0.9  # flax momentum = 1 - torch momentum(0.1)
     dtype: jnp.dtype | None = None
     bn_impl: str = "auto"  # FusedBatchNorm stats impl ('xla' under a mesh)
+    # tanh-approximate GELU: the erf GELU (torch F.gelu default, matched by
+    # default) costs ~2.3 ms/step at B=256 seq2seq on v5e in VPU
+    # transcendentals (tools/trace_b256_bf16_cached.json); the tanh form is
+    # a documented opt-in perf deviation (PARITY.md)
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, X: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -236,14 +241,14 @@ class ConvBlock(nn.Module):
             use_running_average=not train, momentum=self.bn_momentum, name="bn0",
             dtype=self.dtype, impl=self.bn_impl,
         )(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = jax.nn.gelu(h, approximate=self.gelu_approximate)
 
         h2 = conv(self.D2, self.D2, "conv1")(h) + h
         h2 = FusedBatchNorm(
             use_running_average=not train, momentum=self.bn_momentum, name="bn1",
             dtype=self.dtype, impl=self.bn_impl,
         )(h2)
-        h2 = jax.nn.gelu(h2, approximate=False)
+        h2 = jax.nn.gelu(h2, approximate=self.gelu_approximate)
 
         # GLU over features (models.py:320).  The reference's single
         # 2·D2-wide conv followed by a split forces XLA to relayout the

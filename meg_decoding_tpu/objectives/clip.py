@@ -51,6 +51,15 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     return (v32 / norm).astype(v.dtype)
 
 
+def _row_norms(v: jnp.ndarray) -> jnp.ndarray:
+    """Per-row L2 norm over every non-batch axis, (B, ...) → (B,) in f32.
+    Same epsilon placement as ``_normalize`` (clamp the sum of squares, not
+    the sqrt) so a zero row yields a finite gradient."""
+    axes = tuple(range(1, v.ndim))
+    v32 = v.astype(jnp.float32)
+    return jnp.sqrt(jnp.maximum(jnp.sum(v32 * v32, axis=axes), EPS * EPS))
+
+
 def _cosine_logits(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """(B, ...) × (B, ...) → (B, B) by contracting all non-batch axes in one
     ``dot_general`` — no flatten, no relayout."""
@@ -60,8 +69,27 @@ def _cosine_logits(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32)
 
 
-def clip_logits(x: jnp.ndarray, y: jnp.ndarray, temp: jnp.ndarray) -> jnp.ndarray:
-    """Temperature-scaled cosine-similarity logits (B, B)."""
+def clip_logits(x: jnp.ndarray, y: jnp.ndarray, temp: jnp.ndarray,
+                impl: str = "factored") -> jnp.ndarray:
+    """Temperature-scaled cosine-similarity logits (B, B).
+
+    ``impl='factored'`` (default, the measured-faster form): dot the RAW
+    embeddings on the MXU and rescale the (B, B) logits by the outer product
+    of inverse row norms — cos(xᵢ, yⱼ) = (xᵢ·yⱼ)/(|xᵢ||yⱼ|).  The normalized
+    (B, F·T) tensors (f32 intermediates + a relayout copy in fwd AND bwd,
+    ~3 ms/step at seq2seq B=256 on v5e, tools/trace_b256_bf16_cached.json)
+    are never materialized; the norm correction touches only (B,) vectors
+    and the (B, B) matrix.  For bf16 inputs this is also one fewer rounding
+    (the reference normalizes then matmuls — ``loss.py:88-105`` — which
+    rounds the normalized embeddings before the product).
+
+    ``impl='normalized'`` keeps the normalize-then-dot order for A/B
+    ablation (tools/ablate_kernels.py) and as the closest structural match
+    to the reference."""
+    if impl == "factored":
+        g = _cosine_logits(x, y)
+        inv = jnp.exp(temp) / (_row_norms(x)[:, None] * _row_norms(y)[None, :])
+        return g * inv
     logits = _cosine_logits(_normalize(x), _normalize(y))
     return logits * jnp.exp(temp)
 
@@ -72,9 +100,10 @@ def _cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray, reduction: str) ->
     return jnp.mean(nll) if reduction == "mean" else jnp.sum(nll)
 
 
-def clip_loss(x, y, temp, reduction: str = "mean", return_logits: bool = False):
+def clip_loss(x, y, temp, reduction: str = "mean", return_logits: bool = False,
+              impl: str = "factored"):
     """Symmetric InfoNCE over the (global) batch. x, y: (B, ...)."""
-    logits = clip_logits(x, y, temp)
+    logits = clip_logits(x, y, temp, impl=impl)
     targets = jnp.arange(logits.shape[0])
     loss = (_cross_entropy(logits, targets, reduction)
             + _cross_entropy(logits.T, targets, reduction)) / 2.0
@@ -127,15 +156,22 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
     n = jax.lax.psum(1, axis_name)
     b_local = x_local.shape[0]
 
-    x_local = _normalize(x_local.reshape(b_local, -1))
-    y_local = _normalize(y_local.reshape(b_local, -1))
+    # norm-factored form (see clip_logits): gather the RAW y embeddings
+    # (same bytes as gathering normalized ones) and fold both row norms into
+    # the (B_local, B_global) logits — the normalized (B, F·T) tensors are
+    # never materialized, and the y column norms come from the gathered
+    # tensor itself so the loss still needs exactly ONE all-gather.
+    x_local = x_local.reshape(b_local, -1)
+    y_local = y_local.reshape(b_local, -1)
     y_all = jax.lax.all_gather(y_local, axis_name, tiled=True)  # (B_global, F)
 
     scale = jnp.exp(temp)
     local_targets = idx * b_local + jnp.arange(b_local)
 
     # this device's rows of the global logits: local x vs all y
-    logits_xy = jnp.dot(x_local, y_all.T, preferred_element_type=jnp.float32) * scale
+    inv = scale / (_row_norms(x_local)[:, None] * _row_norms(y_all)[None, :])
+    logits_xy = jnp.dot(x_local, y_all.T,
+                        preferred_element_type=jnp.float32) * inv
 
     # CE(x→y) from the local rows
     ce_xy = _cross_entropy(logits_xy, local_targets, "sum")

@@ -72,6 +72,10 @@ class LossConfig:
     # init_temperature (reference loss.py:140-143: a requires_grad=False
     # tensor instead of an nn.Parameter)
     temp_trainable: bool = True
+    # clip logits form: 'factored' (raw MXU dot, norms folded into the
+    # (B, B) matrix — measured faster, objectives/clip.py clip_logits) or
+    # 'normalized' (normalize-then-dot, the reference's op order)
+    clip_impl: str = "factored"
 
 
 def _l2_penalty(params) -> jnp.ndarray:
@@ -106,7 +110,8 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
                 Y, Z, temp, mesh, reduction=loss_cfg.reduction, top_ks=top_ks)
         else:
             sim, loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction,
-                                  return_logits=True)
+                                  return_logits=True,
+                                  impl=loss_cfg.clip_impl)
         if loss_cfg.same_label_weight > 0.0 and labels is not None:
             loss = loss + loss_cfg.same_label_weight * same_label_loss(Z, labels)
     elif loss_cfg.kind == "mse":

@@ -290,6 +290,31 @@ class TestComputeDtype:
         corr = np.corrcoef(out32.ravel(), out16.ravel())[0, 1]
         assert corr > 0.999
 
+    def test_emit_bf16_z_and_tanh_gelu_flags(self):
+        """Round-4 opt-in perf levers (PARITY deviations 15/17): emit_f32=
+        False keeps Z in bf16 (values quantized from the f32 path, nothing
+        more); gelu_approximate swaps erf→tanh GELU (small bounded delta)."""
+        C, B, T = 10, 4, 24
+        loc = _loc(C)
+        Xin = jnp.array(np.random.RandomState(31).randn(B, C, T).astype(np.float32))
+        idxs = jnp.array([0, 1, 2, 0])
+        kw = dict(loc=loc, num_subjects=3, D1=12, D2=16, F=32, K=4)
+        ref = BrainEncoder(**kw, dtype=jnp.bfloat16)
+        v = ref.init(jax.random.PRNGKey(0), Xin, idxs)
+        out_ref = np.asarray(ref.apply(v, Xin, idxs))
+
+        z16 = BrainEncoder(**kw, dtype=jnp.bfloat16, emit_f32=False)
+        out16 = np.asarray(z16.apply(v, Xin, idxs))
+        assert out16.dtype == np.dtype("bfloat16") or out16.dtype == np.float16 \
+            or str(out16.dtype) == "bfloat16"
+        np.testing.assert_allclose(out16.astype(np.float32), out_ref,
+                                   rtol=1e-2, atol=1e-2)
+
+        tanh = BrainEncoder(**kw, dtype=jnp.bfloat16, gelu_approximate=True)
+        out_t = np.asarray(tanh.apply(v, Xin, idxs))
+        corr = np.corrcoef(out_ref.ravel(), out_t.astype(np.float32).ravel())[0, 1]
+        assert corr > 0.999
+
 
 def test_fused_bn_skips_stats_update_without_mutable():
     """nn.BatchNorm drop-in contract: a train-mode apply WITHOUT

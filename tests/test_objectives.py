@@ -70,6 +70,35 @@ class TestClipLoss:
         expect = (xf @ yf.T) * np.exp(1.3)
         np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
 
+    def test_factored_logits_match_normalized_impl(self):
+        """Round-4 perf rework: the factored form (raw dot, norms folded into
+        the (B, B) matrix) must equal the normalize-then-dot form — values
+        AND grads wrt x, y, temp — including an exactly-zero row (the EPS
+        clamp path)."""
+        rng = np.random.RandomState(9)
+        x = rng.randn(8, 6, 5).astype(np.float32) * 3.0
+        y = rng.randn(8, 6, 5).astype(np.float32) * 0.3
+        x[3] = 0.0  # zero row: finite loss + grads via the EPS clamp
+        temp = jnp.array(1.7)
+        args = (jnp.array(x), jnp.array(y), temp)
+
+        lf = np.asarray(clip_logits(*args, impl="factored"))
+        ln = np.asarray(clip_logits(*args, impl="normalized"))
+        np.testing.assert_allclose(lf, ln, rtol=1e-5, atol=1e-5)
+
+        vf = float(clip_loss(*args, impl="factored"))
+        vn = float(clip_loss(*args, impl="normalized"))
+        assert vf == pytest.approx(vn, rel=1e-5)
+
+        gf = jax.grad(lambda *a: clip_loss(*a, impl="factored"),
+                      argnums=(0, 1, 2))(*args)
+        gn = jax.grad(lambda *a: clip_loss(*a, impl="normalized"),
+                      argnums=(0, 1, 2))(*args)
+        for a, b in zip(gf, gn):
+            assert np.all(np.isfinite(np.asarray(a)))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_train_metrics_from_loss_logits_match_explicit(self):
         """The train step reuses the CLIP logits for retrieval metrics; the
         numbers must equal the explicit cosine-matrix path."""

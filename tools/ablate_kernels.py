@@ -35,6 +35,12 @@ def main():
                     help="comma list of quantile impls (pallas|sort)")
     ap.add_argument("--cache", default="0",
                     help="comma list of cache_collate_stats flags (0|1)")
+    ap.add_argument("--clip", default="factored",
+                    help="comma list of clip impls (factored|normalized)")
+    ap.add_argument("--gelu", default="exact",
+                    help="comma list of gelu impls (exact|tanh)")
+    ap.add_argument("--zdtype", default="f32",
+                    help="comma list of Z emit dtypes (f32|bf16)")
     args = ap.parse_args()
 
     import jax
@@ -71,18 +77,21 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
     loc = normalize_locations(synthetic_cap_locations(C))
     optimizer = optax.adam(3e-4)
-    loss_cfg = LossConfig(kind="clip")
     rng = np.random.RandomState(0)
 
-    def build(bn_impl, quantile_impl, cache_stats=False):
+    def build(bn_impl, quantile_impl, cache_stats=False,
+              clip_impl="factored", gelu="exact", zdtype="f32"):
         model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
-                             seq2seq=True, dtype=dtype, bn_impl=bn_impl)
+                             seq2seq=True, dtype=dtype, bn_impl=bn_impl,
+                             gelu_approximate=(gelu == "tanh"),
+                             emit_f32=(zdtype == "f32"))
         example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
                    jnp.zeros((B,), jnp.int32))
         state = create_train_state(model, optimizer, example,
                                    jax.random.PRNGKey(0))
         cc = CollateConfig(baseline_len_samp=60, clamp_lim=20.0,
                            quantile_impl=quantile_impl)
+        loss_cfg = LossConfig(kind="clip", clip_impl=clip_impl)
         fused = make_fused_speech_step(model, optimizer, loss_cfg, cc, packed,
                                        cache_collate_stats=cache_stats)
         return fused, state
@@ -91,8 +100,18 @@ def main():
     for bn in args.bn.split(","):
         for q in args.quant.split(","):
             for c in args.cache.split(","):
-                name = f"bn_{bn}+q_{q}" + ("+cached" if int(c) else "")
-                variants[name] = build(bn, q, cache_stats=bool(int(c)))
+                for cl in args.clip.split(","):
+                    for g in args.gelu.split(","):
+                        for zd in args.zdtype.split(","):
+                            name = (f"bn_{bn}+q_{q}"
+                                    + ("+cached" if int(c) else "")
+                                    + (f"+clip_{cl}" if cl != "normalized"
+                                       else "")
+                                    + (f"+gelu_{g}" if g != "exact" else "")
+                                    + (f"+z_{zd}" if zd != "f32" else ""))
+                            variants[name] = build(
+                                bn, q, cache_stats=bool(int(c)),
+                                clip_impl=cl, gelu=g, zdtype=zd)
 
     # compile + warm every variant first
     for name, (fused, state) in variants.items():
