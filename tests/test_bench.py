@@ -29,6 +29,7 @@ def test_bench_tiny_emits_all_rows():
     for key in ["scan_epoch_samples_per_sec", "bf16_samples_per_sec",
                 "b16_bf16_samples_per_sec",
                 "b16_bf16_cached_stats_samples_per_sec",
+                "b16_bf16_cached_stats_gelu_tanh_samples_per_sec",
                 "collate_stats_sweep_sec", "eval_ms_per_pool",
                 "sentence_split_full_scale_ok", "vs_baseline_1thread"]:
         assert key in row, key

@@ -70,6 +70,8 @@ def main():
     ap.add_argument("--out", default=None, help="optional JSON dump path")
     ap.add_argument("--cached-stats", action="store_true",
                     help="trace the cache_collate_stats=true step variant")
+    ap.add_argument("--gelu-tanh", action="store_true",
+                    help="trace with tanh-approximate GELU (PARITY dev. 17)")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +111,8 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
     loc = normalize_locations(synthetic_cap_locations(C))
     model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
-                         seq2seq=True, dtype=dtype)
+                         seq2seq=True, dtype=dtype,
+                         gelu_approximate=args.gelu_tanh)
     optimizer = optax.adam(3e-4)
     example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
                jnp.zeros((B,), jnp.int32))
