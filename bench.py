@@ -243,20 +243,25 @@ def main():
         return _time_steps(fused, state, packed, batch, n_steps=args.steps,
                            n_windows=args.windows, rng=rng)
 
-    def bench_scan_epoch(dtype, updates=20):
+    def bench_scan_epoch(dtype, updates=20, batch=None, cache_stats=False,
+                         gelu_tanh=False):
         """Whole-epoch lax.scan (one dispatch per epoch): the flagship
         TPU-native path — no per-step host round-trip through the relay."""
         from meg_decoding_tpu.train.scan_loop import make_gwilliams_scan_epoch
 
+        batch = B if batch is None else batch
         model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
-                             seq2seq=True, dtype=dtype)
-        example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
-                   jnp.zeros((B,), jnp.int32))
+                             seq2seq=True, dtype=dtype,
+                             gelu_approximate=gelu_tanh)
+        example = (jnp.zeros((batch, C, seq_len)),
+                   jnp.zeros((batch, F, seq_len)),
+                   jnp.zeros((batch,), jnp.int32))
         state = create_train_state(model, optimizer, example,
                                    jax.random.PRNGKey(0))
         epoch = make_gwilliams_scan_epoch(model, optimizer, loss_cfg,
                                           collate_cfg, packed,
-                                          updates=updates, batch_size=B)
+                                          updates=updates, batch_size=batch,
+                                          cache_collate_stats=cache_stats)
         state, m = epoch(state, jax.random.PRNGKey(1))
         float(m["loss"])  # compile + warm
         best = float("inf")
@@ -353,6 +358,25 @@ def main():
         else:
             extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
         del stats  # free the ~0.9 GB table before the next sections
+        _partial(extras)
+
+    if not args.skip_cached_stats and not args.skip_bf16:
+        # the PROMOTED recipe on the flagship whole-epoch scan path (one
+        # dispatch per epoch): bf16 + cached collate stats + certified tanh
+        # GELU at the throughput-optimal batch — the number a production
+        # training run actually sees, free of per-step relay dispatch
+        try:
+            dt_sp = bench_scan_epoch(jnp.bfloat16, batch=B2,
+                                     cache_stats=True, gelu_tanh=True)
+        except Exception as e:  # noqa: BLE001
+            extras["scan_epoch_promoted_error"] = type(e).__name__
+            _cleanup()
+        else:
+            extras["scan_epoch_promoted_samples_per_sec"] = round(
+                B2 / dt_sp, 2)
+            extras["scan_epoch_promoted_mfu"] = round(
+                _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
+                / dt_sp / V5E_PEAK_FLOPS, 4)
         _partial(extras)
 
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------

@@ -27,6 +27,7 @@ def test_bench_tiny_emits_all_rows():
     # tiny mode uses B2=16, so the batch-scaling rows are b16_* (full-scale
     # runs produce b256_/b512_/b1024_ via --big-batches)
     for key in ["scan_epoch_samples_per_sec", "bf16_samples_per_sec",
+                "scan_epoch_promoted_samples_per_sec",
                 "b16_bf16_samples_per_sec",
                 "b16_bf16_cached_stats_samples_per_sec",
                 "b16_bf16_cached_stats_gelu_tanh_samples_per_sec",
