@@ -86,6 +86,18 @@ class TestShippedConfigs:
         assert "preprocs" in cfg and "brain_resample_rate" in cfg.preprocs
         assert "batch_size" in cfg and "epochs" in cfg
 
+    def test_throughput_preset_composes(self):
+        """The promoted perf recipe ships as a preset layered over the
+        reference-faithful config.yaml (RESULTS.md round 4)."""
+        cfg = compose(os.path.join(REPO, "configs"), "throughput")
+        assert cfg.compute_dtype == "bfloat16"
+        assert cfg.batch_size == 256
+        assert cfg.cache_collate_stats is True
+        assert cfg.gelu_approximate is True
+        # everything else inherits the reference-faithful base
+        assert "preprocs" in cfg and "brain_resample_rate" in cfg.preprocs
+        assert cfg.loss.kind == "clip"
+
     def test_subject_manifest_composes(self):
         cfg = compose(os.path.join(REPO, "configs"), "config_GOD",
                       overrides=["batch_size=8"])
