@@ -484,8 +484,8 @@ def main():
             "promoted" throughput configuration (VERDICT r3 #2).  Re-runs
             the ~20 s sweep (cheaper than holding the 0.9 GB table across
             other rows); OOM-guarded end to end.  ``gelu_tanh=True`` adds
-            the tanh-GELU lever (PARITY deviation 17; certified accuracy-
-            neutral in tests/test_accuracy_parity.py)."""
+            the tanh-GELU lever (PARITY deviation 17; certified non-
+            inferior on accuracy in tests/test_accuracy_parity.py)."""
             key = f"b{bb}_bf16_cached_stats" + ("_gelu_tanh" if gelu_tanh
                                                 else "")
             try:
