@@ -224,6 +224,22 @@ class TestShardedTrainerE2E:
         assert np.isfinite(best.get("train_loss", np.nan))
         assert best.get("test_top10", 0) > 0
 
+    def test_promoted_recipe_under_mesh(self, tmp_path):
+        """The shipped configs/throughput.yaml lever set (bf16 compute +
+        cached collate stats + certified tanh GELU) trains data-parallel
+        under the 8-device mesh through the public CLI — the promoted
+        single-chip record configuration is multi-chip-safe."""
+        cache = str(tmp_path / "cache")
+        cfg = make_gwilliams_cache(cache)
+        cfg = self._cfg(cfg, str(tmp_path / "out"), fuse_gather=True,
+                        compute_dtype="bfloat16", cache_collate_stats=True,
+                        gelu_approximate=True)
+        from meg_decoding_tpu.cli.train_speech import run
+
+        best = run(cfg)
+        assert np.isfinite(best.get("train_loss", np.nan))
+        assert best.get("test_top10", 0) > 0
+
     def test_scan_epochs_under_mesh(self, tmp_path):
         cache = str(tmp_path / "cache")
         cfg = make_gwilliams_cache(cache)
