@@ -409,6 +409,7 @@ def run(cfg: Config) -> dict:
     logger = RunLogger(save_root, run_name=cfg.get("run_name"),
                        use_wandb=bool(cfg.get("use_wandb", False)),
                        wandb_cfg=cfg.get("wandb"))
+    logger.dump_config(cfg)  # Hydra-parity .hydra/config.yaml (ref runs)
     ckpt = CheckpointManager(os.path.join(save_root, "ckpt"))
     from meg_decoding_tpu.train.loop import resume_if_requested, steps_per_epoch
 

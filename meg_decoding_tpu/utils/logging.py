@@ -39,6 +39,23 @@ class RunLogger:
             except Exception as e:  # missing module or no credentials
                 print(f"[logger] wandb unavailable ({e}); falling back to JSONL only")
 
+    def dump_config(self, cfg) -> str:
+        """Persist the fully composed run config as ``config.yaml`` in the
+        run directory (Hydra-parity: the reference's runs carry
+        ``.hydra/config.yaml``).  The dump is a resolved flat config (no
+        ``defaults:`` list), so ``python evaluate.py --config-path
+        <run_dir> --config-name config`` rebuilds the EXACT trained model —
+        including model-affecting levers like ``gelu_approximate`` that a
+        re-typed CLI invocation can silently drop."""
+        import yaml
+
+        from meg_decoding_tpu.core.config import to_dict
+
+        path = os.path.join(self.run_dir, "config.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+        return path
+
     def log(self, metrics: dict):
         metrics = {k: (float(v) if hasattr(v, "__float__") else v)
                    for k, v in metrics.items()}

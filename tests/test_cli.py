@@ -62,6 +62,22 @@ class TestTrainCLI:
         assert len(rows) == 2
         assert "train_loss" in rows[0] and "test_top10" in rows[0]
 
+    def test_run_dir_persists_composed_config(self, trained):
+        """Hydra-parity (reference runs carry .hydra/config.yaml): every
+        run dir holds the fully composed config, re-composable with
+        --config-path <run_dir> --config-name config, so evaluate/export
+        rebuild the EXACT trained model — model-affecting levers like
+        gelu_approximate must survive the round trip."""
+        from meg_decoding_tpu.core.config import compose
+
+        cfg, save_root, _ = trained
+        runs = os.listdir(os.path.join(save_root, "runs"))
+        run_dir = os.path.join(save_root, "runs", runs[0])
+        assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+        cfg2 = compose(run_dir, "config")
+        for key in ("model", "F", "scp", "num_subjects", "batch_size"):
+            assert cfg2.get(key) == cfg.get(key), key
+
     def test_evaluate_runs_all_metrics(self, trained):
         cfg, save_root, _ = trained
         from meg_decoding_tpu.cli.evaluate_god import run as eval_run
