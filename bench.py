@@ -360,25 +360,6 @@ def main():
         del stats  # free the ~0.9 GB table before the next sections
         _partial(extras)
 
-    if not args.skip_cached_stats and not args.skip_bf16:
-        # the PROMOTED recipe on the flagship whole-epoch scan path (one
-        # dispatch per epoch): bf16 + cached collate stats + certified tanh
-        # GELU at the throughput-optimal batch — the number a production
-        # training run actually sees, free of per-step relay dispatch
-        try:
-            dt_sp = bench_scan_epoch(jnp.bfloat16, batch=B2,
-                                     cache_stats=True, gelu_tanh=True)
-        except Exception as e:  # noqa: BLE001
-            extras["scan_epoch_promoted_error"] = type(e).__name__
-            _cleanup()
-        else:
-            extras["scan_epoch_promoted_samples_per_sec"] = round(
-                B2 / dt_sp, 2)
-            extras["scan_epoch_promoted_mfu"] = round(
-                _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
-                / dt_sp / V5E_PEAK_FLOPS, 4)
-        _partial(extras)
-
     # ---- per-epoch eval sweep cost (VERDICT r2 weak #8) --------------------
     # the trainer scores EVERY test pool each epoch (train/loop.py
     # _eval_test_pools); time one pool's gather+eval and report the fraction
@@ -466,6 +447,29 @@ def main():
             _cleanup()
         _partial(extras)
 
+    # ---- promoted-recipe scan-epoch row (AFTER the measurement-critical
+    # eval/split sections: its 4x-batch scan + internal 0.9 GB stats table
+    # is itself a shared-chip OOM opportunity, and a best-effort _cleanup
+    # must not be what the eval rows depend on) ------------------------------
+    if not args.skip_cached_stats and not args.skip_bf16:
+        # the PROMOTED recipe on the flagship whole-epoch scan path (one
+        # dispatch per epoch): bf16 + cached collate stats + certified tanh
+        # GELU at the throughput-optimal batch — the number a production
+        # training run actually sees, free of per-step relay dispatch
+        try:
+            dt_sp = bench_scan_epoch(jnp.bfloat16, batch=B2,
+                                     cache_stats=True, gelu_tanh=True)
+        except Exception as e:  # noqa: BLE001
+            extras["scan_epoch_promoted_error"] = type(e).__name__
+            _cleanup()
+        else:
+            extras["scan_epoch_promoted_samples_per_sec"] = round(
+                B2 / dt_sp, 2)
+            extras["scan_epoch_promoted_mfu"] = round(
+                _analytic_step_flops(B2, C, seq_len, D1, D2, F, K)
+                / dt_sp / V5E_PEAK_FLOPS, 4)
+        _partial(extras)
+
     # ---- batch-scaling rows (LAST: a failed big-batch attempt can strand
     # HBM on this backend — everything after it would inherit a poisoned
     # allocator, so nothing measurement-critical runs after this section) --
@@ -479,19 +483,24 @@ def main():
                           [int(b) for b in args.big_batches.split(",") if b])
         best_bf16_sps, best_bf16_batch = 0.0, B2
 
-        def _cached_row(bb, gelu_tanh=False):
+        def _cached_row(bb, gelu_tanh=False, stats_table=None):
             """Cached-collate-stats row at batch bb (bf16) — the candidate
             "promoted" throughput configuration (VERDICT r3 #2).  Re-runs
-            the ~20 s sweep (cheaper than holding the 0.9 GB table across
-            other rows); OOM-guarded end to end.  ``gelu_tanh=True`` adds
-            the tanh-GELU lever (PARITY deviation 17; certified non-
-            inferior on accuracy in tests/test_accuracy_parity.py)."""
+            the ~20 s sweep unless the caller shares one via
+            ``stats_table`` (adjacent rows at the same batch reuse one
+            table instead of paying a second sweep + transient 0.9 GB);
+            OOM-guarded end to end.  ``gelu_tanh=True`` adds the tanh-GELU
+            lever (PARITY deviation 17; certified non-inferior on accuracy
+            in tests/test_accuracy_parity.py)."""
             key = f"b{bb}_bf16_cached_stats" + ("_gelu_tanh" if gelu_tanh
                                                 else "")
+            owns_table = stats_table is None
             try:
-                stats2 = compute_collate_stats(packed,
-                                               collate_cfg.baseline_len_samp)
-                float(stats2[0, 0])
+                stats2 = stats_table
+                if owns_table:
+                    stats2 = compute_collate_stats(
+                        packed, collate_cfg.baseline_len_samp)
+                    float(stats2[0, 0])
                 dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats2,
                                    gelu_tanh=gelu_tanh)
             except Exception as e:  # noqa: BLE001
@@ -502,7 +511,8 @@ def main():
                 extras[f"{key}_mfu"] = round(
                     _analytic_step_flops(bb, C, seq_len, D1, D2, F, K)
                     / dtcb / V5E_PEAK_FLOPS, 4)
-                del stats2
+                if owns_table:
+                    del stats2
             _partial(extras)
 
         for bx in batches:
@@ -526,15 +536,26 @@ def main():
                     best_bf16_sps, best_bf16_batch = bx / dt_b, bx
                 _partial(extras)
             if bx == B2 and not args.skip_bf16 and not args.skip_cached_stats:
-                # the promoted-config row runs BEFORE any bigger batch is
+                # the promoted-config rows run BEFORE any bigger batch is
                 # attempted — a big-batch OOM can strand HBM for the rest
-                # of the process (observed round 4), and this is the row
-                # that settles the MFU question
-                _cached_row(B2)
+                # of the process (observed round 4), and these are the rows
+                # that settle the MFU question.  One shared stats table for
+                # both adjacent rows (saves a ~13 s sweep + transient
+                # 0.9 GB); the rows fall back to their own sweep if the
+                # shared one was denied
+                try:
+                    stats_b2 = compute_collate_stats(
+                        packed, collate_cfg.baseline_len_samp)
+                    float(stats_b2[0, 0])
+                except Exception:  # noqa: BLE001 — rows re-try their own
+                    stats_b2 = None
+                    _cleanup()
+                _cached_row(B2, stats_table=stats_b2)
                 # + tanh-GELU (the round-4 lever: erf GELU costs ~11 ms of
                 # transcendental VPU time per B=256 step; tanh is the
                 # measured-faster accuracy-certified variant)
-                _cached_row(B2, gelu_tanh=True)
+                _cached_row(B2, gelu_tanh=True, stats_table=stats_b2)
+                del stats_b2
 
         if not args.skip_bf16 and not args.skip_cached_stats \
                 and best_bf16_batch != B2:

@@ -46,14 +46,26 @@ class RunLogger:
         ``defaults:`` list), so ``python evaluate.py --config-path
         <run_dir> --config-name config`` rebuilds the EXACT trained model —
         including model-affecting levers like ``gelu_approximate`` that a
-        re-typed CLI invocation can silently drop."""
+        re-typed CLI invocation can silently drop.
+
+        Guarded like every other logger convenience (wandb init, metric
+        coercion): a programmatic config carrying a non-YAML-native value
+        (e.g. a numpy scalar from a sweep driver — ``yaml.safe_dump``
+        raises RepresenterError) must not kill the training run over a
+        reproducibility nicety."""
         import yaml
 
         from meg_decoding_tpu.core.config import to_dict
 
         path = os.path.join(self.run_dir, "config.yaml")
-        with open(path, "w") as f:
-            yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+        try:
+            text = yaml.safe_dump(to_dict(cfg), sort_keys=False)
+            with open(path, "w") as f:
+                f.write(text)
+        except Exception as e:  # noqa: BLE001
+            print(f"[logger] config dump failed ({e}); run continues "
+                  f"without {path}")
+            return None
         return path
 
     def log(self, metrics: dict):

@@ -269,12 +269,17 @@ def test_mean_seed_diff_certifies_1pt_criterion():
         aj, at = _run_static_anchor(seed=s, n_test=2048)
         diffs.append(aj - at)
         rows.append((s, aj, at))
+    from scipy.stats import t as student_t
+
     mean_diff = float(np.mean(diffs))
     sem = float(np.std(diffs, ddof=1) / np.sqrt(len(diffs)))
-    half = 1.96 * sem
+    # Student-t critical value, not 1.96: with n=10 seeds the normal
+    # quantile understates the interval (t(9)=2.262) — the gate must be
+    # at least as wide as the claim it certifies
+    half = float(student_t.ppf(0.975, len(diffs) - 1)) * sem
     print("seed table:", rows)
     print(f"mean paired diff={mean_diff*100:.2f} pts  "
-          f"95% CI ±{half*100:.2f} pts")
+          f"95% CI ±{half*100:.2f} pts (t, df={len(diffs)-1})")
     assert half <= 0.01, ("CI half-width exceeds the 1-pt criterion — "
                           "the design cannot certify it", half, rows)
     assert abs(mean_diff) <= 0.01, (mean_diff, rows)
@@ -346,11 +351,17 @@ def test_tanh_gelu_certified_no_accuracy_loss():
         assert ae > 0.10 and at > 0.10, ("a stack failed to learn", s, ae, at)
         diffs.append(at - ae)
         rows.append((s, ae, at))
+    from scipy.stats import t as student_t
+
     mean_diff = float(np.mean(diffs))
     sem = float(np.std(diffs, ddof=1) / np.sqrt(len(diffs)))
-    lower = mean_diff - 1.96 * sem
+    # Student-t quantile (t(9)=2.262), not 1.96: the normal approximation
+    # would overstate the claimed 97.5% one-sided confidence at n=10
+    crit = float(student_t.ppf(0.975, len(diffs) - 1))
+    lower = mean_diff - crit * sem
     print("gelu seed table:", rows)
     print(f"mean paired diff (tanh - exact)={mean_diff*100:.2f} pts  "
-          f"95% CI ±{1.96*sem*100:.2f} pts  lower bound={lower*100:.2f} pts")
+          f"95% CI ±{crit*sem*100:.2f} pts (t, df={len(diffs)-1})  "
+          f"lower bound={lower*100:.2f} pts")
     assert lower >= -0.01, ("tanh GELU cannot be certified non-inferior "
                             "to the 1-pt criterion", mean_diff, lower, rows)
