@@ -338,12 +338,21 @@ def main():
         except Exception as e:  # noqa: BLE001
             extras["collate_stats_sweep_retry"] = type(e).__name__
             stats = None
+            # free the failed attempt's stranded buffers BEFORE retrying
+            # (round-4 failure mode: without a cleanup the retry inherits a
+            # poisoned HBM pool and is likely doomed), and restart the sweep
+            # clock so the reported cost covers only the attempt that
+            # produced the table
+            _cleanup()
+            t0 = time.time()
             try:
                 stats = compute_collate_stats(
                     packed, collate_cfg.baseline_len_samp, chunk=128)
                 float(stats[0, 0])
             except Exception as e2:  # noqa: BLE001
-                extras["cached_stats_error"] = type(e2).__name__
+                # distinct key: this is the SWEEP failing, not the cached
+                # step row (which reports cached_stats_error below)
+                extras["collate_stats_sweep_error"] = type(e2).__name__
                 stats = None
                 _cleanup()
     if not args.skip_cached_stats and stats is not None:

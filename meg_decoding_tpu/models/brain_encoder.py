@@ -141,6 +141,12 @@ class BrainEncoderSeq2Static(nn.Module):
     K: int = 32
     d_drop: float = 0.1
     bn_impl: str = "auto"
+    # same throughput levers as BrainEncoder (factory threads the config
+    # flags into both branches so a dumped run config never claims a lever
+    # the model silently ignored)
+    dtype: jnp.dtype | None = None
+    gelu_approximate: bool = False
+    emit_f32: bool = True
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
@@ -151,24 +157,36 @@ class BrainEncoderSeq2Static(nn.Module):
             D1=self.D1,
             K=self.K,
             d_drop=self.d_drop,
+            dtype=self.dtype,
             name="subject_block",
         )(X, subject_idxs, train=train)
         for k in range(5):
             X = ConvBlock(k=k, D2=self.D2, ks=int(self.ks_list[k]),
-                          bn_impl=self.bn_impl, name=f"conv{k}")(
+                          bn_impl=self.bn_impl, dtype=self.dtype,
+                          gelu_approximate=self.gelu_approximate,
+                          name=f"conv{k}")(
                 X, train=train
             )
             if k < 4:
                 # torch AvgPool1d(3, stride=2): valid padding
                 X = nn.avg_pool(X, window_shape=(3,), strides=(2,), padding="VALID")
+            elif X.dtype == jnp.bfloat16:
+                # global average pool reduces in f32 (same rationale as
+                # BrainEncoder's mean-pool)
+                X = jnp.mean(X.astype(jnp.float32), axis=1,
+                             keepdims=True).astype(X.dtype)
             else:
                 X = jnp.mean(X, axis=1, keepdims=True)  # global average pool
         X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
+                                 dtype=self.dtype,
                                  kernel_init=torch_kernel_init,
                                  bias_init=torch_bias_init(self.D2))(X),
-                        approximate=False)
+                        approximate=self.gelu_approximate)
         X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
+                                 dtype=self.dtype,
                                  kernel_init=torch_kernel_init,
                                  bias_init=torch_bias_init(2 * self.D2))(X),
-                        approximate=False)
+                        approximate=self.gelu_approximate)
+        if self.emit_f32:
+            X = X.astype(jnp.float32)
         return X[:, 0, :]  # (B, F): time dim already collapsed to 1

@@ -43,6 +43,17 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
     known = {"brain_encoder", "brain_endcoder_seq2static", "eegnet", "eegnet_sub", "linear"}
     if name not in known:
         raise ValueError(f"no model named {name!r} is prepared (known: {sorted(known)})")
+    if name not in ("brain_encoder", "brain_endcoder_seq2static"):
+        # these levers only exist on the brain_encoder family — warn instead
+        # of silently ignoring them, so a dumped run config never claims a
+        # lever the model didn't consume
+        import warnings
+
+        for flag in ("gelu_approximate", "emit_bf16_z"):
+            if bool(cfg.get(flag, False)):
+                warnings.warn(
+                    f"config sets {flag}: true but model {name!r} has no "
+                    "such lever — ignored", stacklevel=2)
     if name in ("linear",):
         return LinearEncoder(scp=bool(cfg.get("scp", True)), out_dim=_resolve_F(cfg))
     if name in ("eegnet", "eegnet_sub"):
@@ -107,5 +118,10 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
     if name == "brain_endcoder_seq2static":  # sic — reference's spelling
         assert loc is not None
         ks_list = list(cfg.select("ConvBlocks.ks", [3, 3, 3, 3, 3]))
-        return BrainEncoderSeq2Static(loc=loc, ks_list=ks_list, **common)
+        return BrainEncoderSeq2Static(
+            loc=loc, ks_list=ks_list,
+            dtype=_compute_dtype(cfg),
+            gelu_approximate=bool(cfg.get("gelu_approximate", False)),
+            emit_f32=not bool(cfg.get("emit_bf16_z", False)),
+            **common)
     raise AssertionError("unreachable")

@@ -132,7 +132,8 @@ def _local_row_topk_hits(logits_rows, local_targets, top_ks):
 
 
 def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
-                         reduction: str = "mean", top_ks=None):
+                         reduction: str = "mean", top_ks=None,
+                         impl: str = "factored"):
     """Sharded CLIP loss for use inside ``shard_map``/``pmap``.
 
     Each device holds (B_local, F) slices of x and y.  Only **y** is
@@ -156,20 +157,29 @@ def clip_loss_local_rows(x_local, y_local, temp, axis_name: str,
     n = jax.lax.psum(1, axis_name)
     b_local = x_local.shape[0]
 
-    # norm-factored form (see clip_logits): gather the RAW y embeddings
-    # (same bytes as gathering normalized ones) and fold both row norms into
-    # the (B_local, B_global) logits — the normalized (B, F·T) tensors are
-    # never materialized, and the y column norms come from the gathered
-    # tensor itself so the loss still needs exactly ONE all-gather.
+    # norm-factored form (see clip_logits, the default): gather the RAW y
+    # embeddings (same bytes as gathering normalized ones) and fold both row
+    # norms into the (B_local, B_global) logits — the normalized (B, F·T)
+    # tensors are never materialized, and the y column norms come from the
+    # gathered tensor itself so the loss still needs exactly ONE all-gather.
+    # impl='normalized' keeps the reference's normalize-then-dot op order
+    # (LossConfig.clip_impl works identically with and without a mesh);
+    # the collective pattern is unchanged — it gathers normalized rows.
     x_local = x_local.reshape(b_local, -1)
     y_local = y_local.reshape(b_local, -1)
+    if impl == "normalized":
+        x_local = _normalize(x_local)
+        y_local = _normalize(y_local)
     y_all = jax.lax.all_gather(y_local, axis_name, tiled=True)  # (B_global, F)
 
     scale = jnp.exp(temp)
     local_targets = idx * b_local + jnp.arange(b_local)
 
     # this device's rows of the global logits: local x vs all y
-    inv = scale / (_row_norms(x_local)[:, None] * _row_norms(y_all)[None, :])
+    if impl == "normalized":
+        inv = scale
+    else:
+        inv = scale / (_row_norms(x_local)[:, None] * _row_norms(y_all)[None, :])
     logits_xy = jnp.dot(x_local, y_all.T,
                         preferred_element_type=jnp.float32) * inv
 
@@ -229,7 +239,8 @@ def clip_loss_local_rows_gathered(x_local, y_local, temp, axis_name: str,
 
 
 def clip_loss_sharded(x, y, temp, mesh, reduction: str = "mean",
-                      axis_name: str = "data", top_ks=None):
+                      axis_name: str = "data", top_ks=None,
+                      impl: str = "factored"):
     """CLIP loss over a batch-sharded (x, y) via ``shard_map`` around
     ``clip_loss_local_rows``: only the (B_local, F) y-embeddings are
     all-gathered over ICI; each device computes its rows of the logits and
@@ -248,7 +259,8 @@ def clip_loss_sharded(x, y, temp, mesh, reduction: str = "mean",
 
     def local(xl, yl, t):
         return clip_loss_local_rows(xl, yl, t, axis_name,
-                                    reduction=reduction, top_ks=top_ks)
+                                    reduction=reduction, top_ks=top_ks,
+                                    impl=impl)
 
     spec_x = P(axis_name, *([None] * (x.ndim - 1)))
     spec_y = P(axis_name, *([None] * (y.ndim - 1)))

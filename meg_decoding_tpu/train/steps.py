@@ -107,7 +107,8 @@ def _compute_loss(loss_cfg: LossConfig, Z, Y, labels, temp, params,
             from meg_decoding_tpu.objectives.clip import clip_loss_sharded
 
             loss, shard_metrics = clip_loss_sharded(
-                Y, Z, temp, mesh, reduction=loss_cfg.reduction, top_ks=top_ks)
+                Y, Z, temp, mesh, reduction=loss_cfg.reduction, top_ks=top_ks,
+                impl=loss_cfg.clip_impl)
         else:
             sim, loss = clip_loss(Y, Z, temp, reduction=loss_cfg.reduction,
                                   return_logits=True,

@@ -155,6 +155,31 @@ class TestClipLoss:
         got = float(sharded(jnp.array(x), jnp.array(y)))
         assert got == pytest.approx(expect, rel=1e-5)
 
+    def test_sharded_normalized_impl_matches_global(self):
+        # LossConfig.clip_impl='normalized' must take effect under a mesh
+        # too (round-4 advisor finding: the sharded path was factored-only)
+        x, y = _xy(B=16, F=8, seed=7)
+        temp = jnp.array(2.0)
+        expect = float(clip_loss(jnp.array(x), jnp.array(y), temp,
+                                 impl="normalized"))
+
+        devices = jax.devices("cpu")[:4]
+        mesh = Mesh(np.array(devices), ("data",))
+        sharded = jax.jit(
+            jax.shard_map(
+                lambda xl, yl: clip_loss_local_rows(xl, yl, temp, "data",
+                                                    impl="normalized"),
+                mesh=mesh,
+                in_specs=(P("data"), P("data")),
+                out_specs=P(),
+            )
+        )
+        got = float(sharded(jnp.array(x), jnp.array(y)))
+        assert got == pytest.approx(expect, rel=1e-5)
+        # and the two impls agree with each other at rounding level
+        assert got == pytest.approx(
+            float(clip_loss(jnp.array(x), jnp.array(y), temp)), rel=1e-5)
+
     def test_sharded_grads_match_global(self):
         x, y = _xy(B=8, F=8, seed=4)
         temp = jnp.array(1.0)

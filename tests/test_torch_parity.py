@@ -4,6 +4,11 @@ the reference architecture (meg_decoding/models.py:341-383 semantics).
 Copies every parameter from the initialized flax model into the torch module
 and asserts the eval-mode forward passes agree — end-to-end numerical parity
 of SpatialAttention + SubjectBlock + 5×ConvBlock + final convs + pooling.
+
+The replica itself is certified against the LITERAL reference classes in
+tests/test_reference_code_parity.py (imports /root/reference directly), so
+a transcription error here can no longer hide — this module remains as the
+fast, reference-checkout-independent variant.
 """
 
 import numpy as np
