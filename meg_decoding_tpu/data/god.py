@@ -90,14 +90,20 @@ def get_meg_data(
     return MEG_Data, image_features, labels, triggers
 
 
-def time_window(cfg, triggers: np.ndarray, fs: float) -> np.ndarray:
+def time_window(cfg, triggers: np.ndarray, fs: float,
+                start: float | None = None,
+                end: float | None = None) -> np.ndarray:
     """Trigger times → (start, end) sample index pairs
-    (reference ``load_meg.py:123-130``)."""
+    (reference ``load_meg.py:123-130``).  ``start``/``end`` override
+    ``cfg.window`` without mutating the config (the per-region-onset sweep
+    epochs each region at its own window — reference
+    examples/kamitani_regression.py:101-104 mutates ``args.window``)."""
     trigger_point = np.round(triggers * fs)
-    start = np.round(cfg.window.start * fs)
-    end = np.round(cfg.window.end * fs)
+    start_pt = np.round((cfg.window.start if start is None else start) * fs)
+    end_pt = np.round((cfg.window.end if end is None else end) * fs)
     return np.stack(
-        [(trigger_point + start).astype(int), (trigger_point + end).astype(int)], axis=1
+        [(trigger_point + start_pt).astype(int),
+         (trigger_point + end_pt).astype(int)], axis=1
     )
 
 
@@ -116,15 +122,31 @@ def build_god_dataset(
     std_X=None,
     mean_Y=None,
     std_Y=None,
+    manual_ch=None,
+    onsets=None,
 ) -> PackedDataset:
     """Build the packed GOD dataset for ``split`` ('train' or 'val').
 
     Mirrors ``GODDatasetBase.__init__`` + ``prepare_data`` (god.py:32-152).
+
+    ``manual_ch``: explicit 0-indexed channel list that bypasses the ROI
+    lookup (the Kamitani manual-channel experiment — reference
+    examples/kamitani_regression.py:48).
+
+    ``onsets``: dict of region string → onset seconds.  Each region's
+    channels are epoched at their own (onset, onset + window-duration)
+    window and the epochs concatenated along the channel axis — the
+    reference's per-region-onset branch (kamitani_regression.py:95-109),
+    which also SKIPS the bandpass/resample path (mirrored here; windows
+    index the raw-rate recording).
     """
     data_root = cfg.data_root
     sub_list = list(cfg.subjects.keys())
     sub_id_map = {s: i for i, s in enumerate(sub_list)}
-    roi_channels = np.asarray(roi(cfg))
+    if manual_ch is not None:
+        roi_channels = np.asarray(manual_ch, dtype=int)
+    else:
+        roi_channels = np.asarray(roi(cfg))
 
     meg_epochs, sub_epochs, label_epochs, feat_epochs = [], [], [], []
     for sub in sub_list:
@@ -149,20 +171,41 @@ def build_god_dataset(
                 split=split, num_channels=num_ch,
                 enforce_split_sizes=bool(cfg.get("enforce_split_sizes", False)),
             )
-            x = jnp.asarray(MEG[roi_channels], dtype=jnp.float32)  # (C_roi, T)
-
-            brain_filter = cfg.preprocs.get("brain_filter")
-            if brain_filter is not None:
-                x = bandpass_filter(x, fs, float(brain_filter[0]), float(brain_filter[1]))
-            rate = cfg.preprocs.get("brain_resample_rate")
-            if rate is not None:
-                x = resample_fft(x, down=fs / float(rate))
-                fs_eff = float(rate)
+            if onsets is not None:
+                # per-region onset epoching (reference branch at
+                # kamitani_regression.py:95-109): no filter/resample, each
+                # region's window starts at its own onset; parts concatenate
+                # along the channel axis.  Rounding can make windows differ
+                # by one sample across onsets — trim to the shortest (the
+                # reference would crash on the mismatch).
+                duration = float(cfg.window.end) - float(cfg.window.start)
+                parts = []
+                for reg, onset in onsets.items():
+                    reg_list = [reg] if isinstance(reg, str) else list(reg)
+                    chans = np.asarray(roi(cfg, region=reg_list), dtype=int)
+                    xr = jnp.asarray(MEG[chans], dtype=jnp.float32)
+                    win = time_window(cfg, triggers, fs, start=float(onset),
+                                      end=float(onset) + duration)
+                    ln = int(win[0, 1] - win[0, 0])
+                    parts.append(epoch_slice(xr, jnp.asarray(win[:, 0]), ln))
+                min_len = min(int(p.shape[-1]) for p in parts)
+                epochs = jnp.concatenate(
+                    [p[..., :min_len] for p in parts], axis=1)
             else:
-                fs_eff = fs
-            windows = time_window(cfg, triggers, fs_eff)
-            length = int(windows[0, 1] - windows[0, 0])
-            epochs = epoch_slice(x, jnp.asarray(windows[:, 0]), length)  # (N, C, L)
+                x = jnp.asarray(MEG[roi_channels], dtype=jnp.float32)  # (C_roi, T)
+
+                brain_filter = cfg.preprocs.get("brain_filter")
+                if brain_filter is not None:
+                    x = bandpass_filter(x, fs, float(brain_filter[0]), float(brain_filter[1]))
+                rate = cfg.preprocs.get("brain_resample_rate")
+                if rate is not None:
+                    x = resample_fft(x, down=fs / float(rate))
+                    fs_eff = float(rate)
+                else:
+                    fs_eff = fs
+                windows = time_window(cfg, triggers, fs_eff)
+                length = int(windows[0, 1] - windows[0, 0])
+                epochs = epoch_slice(x, jnp.asarray(windows[:, 0]), length)  # (N, C, L)
 
             meg_epochs.append(np.asarray(epochs))
             sub_epochs += [sub_id_map[sub]] * len(epochs)

@@ -13,8 +13,13 @@ import os
 __all__ = ["roi"]
 
 
-def roi(cfg) -> list[int]:
+def roi(cfg, region=None) -> list[int]:
     """Resolve ``cfg.region`` strings to 0-indexed channel indices.
+
+    ``region`` overrides ``cfg.region`` without mutating the config (the
+    Kamitani per-region-onset sweep resolves one region at a time —
+    reference examples/kamitani_regression.py:97-99 mutates ``args.region``
+    in place instead).
 
     Falls back to the packaged region table (the reference's
     ``data/GOD/ch_region.json`` artifact) when ``cfg.ch_region_path`` is
@@ -26,7 +31,7 @@ def roi(cfg) -> list[int]:
     with open(path) as f:
         ch_region_info = json.load(f)
     roi_channels: list[int] = []
-    for reg in cfg.region:
+    for reg in (cfg.region if region is None else region):
         parts = reg.split("/")
         if len(parts) != 2:
             raise ValueError(f"region must be 'region/subregion', got {reg!r}")

@@ -112,3 +112,88 @@ class TestPipeline:
         pa, ta, ls = get_averaged_feature(pred, pred, labels)
         np.testing.assert_array_equal(ls, [1, 2, 3])
         np.testing.assert_allclose(pa[0], pred[:2].mean(0))
+
+
+class TestSweepExperiments:
+    """Tiny-synthetic drives of the three reference sweep mains ported in
+    round 5 (reference examples/kamitani_regression.py:284-400 —
+    main_meg_repetiton_N, main_meg_repetiton_onsets_per_ch,
+    main_meg_run_manual_ch)."""
+
+    @pytest.fixture()
+    def god_cfg(self, tmp_path):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from tests.fixtures import make_god_fixture
+
+        cfg = make_god_fixture(str(tmp_path / "god"), n_train=16, n_test=8)
+        cfg.save_root = str(tmp_path / "out")
+        return cfg
+
+    def test_channel_ratio_sweep(self, god_cfg, tmp_path):
+        from examples.kamitani_regression import run_channel_ratio_sweep
+
+        res = run_channel_ratio_sweep(god_cfg, ch_ratios=(0.5, 1.0),
+                                      roi_names=("occipital", "nonexistent"),
+                                      n_iter=5)
+        assert list(res) == ["occipital"]  # unknown region skipped, not fatal
+        assert len(res["occipital"]) == 2
+        assert all(0.0 <= a <= 1.0 for a in res["occipital"])
+        out = tmp_path / "out"
+        assert (out / "ridge_regression_ch_ratio.pkl").exists()
+        assert (out / "ridge_regression_ch_ratio.png").exists()
+
+    def test_onsets_per_channel_sweep(self, god_cfg, tmp_path):
+        from examples.kamitani_regression import run_onsets_per_channel_sweep
+
+        res = run_onsets_per_channel_sweep(god_cfg, onsets=(0.02, 0.06),
+                                           roi_names=("occipital",), n_iter=5)
+        # one ROI x two onsets -> 2 combinations
+        assert len(res["acc"]) == 2
+        assert res["occipital"] == [0.02, 0.06]
+        csv_path = tmp_path / "out" / "ridge_regression_var_onsets_per_ch.csv"
+        assert csv_path.exists()
+        lines = csv_path.read_text().strip().splitlines()
+        assert len(lines) == 3  # header + 2 rows
+
+    def test_manual_channel_sweep(self, god_cfg, tmp_path):
+        from examples.kamitani_regression import run_manual_channel_sweep
+
+        accs = run_manual_channel_sweep(
+            god_cfg, manual_ch_lists=([1, 2, 3], None), n_iter=5)
+        assert len(accs) == 2
+        assert all(0.0 <= a <= 1.0 for a in accs)
+        assert (tmp_path / "out" / "manual_ch_accs.json").exists()
+
+    def test_manual_ch_selects_exact_channels(self, god_cfg):
+        from meg_decoding_tpu.data.god import build_god_dataset
+
+        ds_manual = build_god_dataset(god_cfg, "train", manual_ch=[0, 1, 2])
+        assert ds_manual.X.shape[1] == 3
+        ds_roi = build_god_dataset(god_cfg, "train")
+        # fixture region table: occipital left+right = num_roi=8 channels
+        assert ds_roi.X.shape[1] == 8
+
+    def test_onsets_dict_concatenates_regions(self, god_cfg):
+        import numpy as np
+
+        from meg_decoding_tpu.data.god import build_god_dataset
+
+        onsets = {"occipital/left": 0.02, "occipital/right": 0.06}
+        ds = build_god_dataset(god_cfg, "train", onsets=onsets)
+        # 4 left + 4 right channels, epoched at their own windows
+        assert ds.X.shape[1] == 8
+        # the left block equals a plain build restricted to the left
+        # channels with window.start shifted to its onset
+        god_cfg.set_dotted("window.start", 0.02)
+        god_cfg.set_dotted("window.end", 0.02 + 0.2)
+        god_cfg.region = ["occipital/left"]
+        god_cfg.preprocs["brain_filter"] = None
+        god_cfg.preprocs["brain_resample_rate"] = None
+        ds_left = build_god_dataset(god_cfg, "train")
+        L = min(ds.X.shape[-1], ds_left.X.shape[-1])
+        np.testing.assert_allclose(np.asarray(ds.X[:, :4, :L]),
+                                   np.asarray(ds_left.X[..., :L]), rtol=1e-6)
