@@ -97,6 +97,39 @@ def _analytic_step_flops(B, C, T, D1, D2, F, K):
     return 3.0 * fwd
 
 
+def _estimate_step_hbm_gb(B, C, T, D1, D2, F, dtype_bytes):
+    """Rough fwd+bwd working-set estimate for one seq2seq train step (GB):
+    the conv inputs/outputs the backward pass must keep (XLA fuses the
+    BN/GELU elementwise chains, so only the conv-adjacent tensors count),
+    the gathered Y block, and the (B, B) logits.  Intentionally WITHOUT a
+    safety factor — the pre-check only skips rows that clearly exceed the
+    budget; marginal rows still attempt under the OOM guard (a shared chip
+    makes the marginal zone non-deterministic anyway — RESULTS.md round 4's
+    1-of-4 B=512 row)."""
+    per_sample_floats = (
+        C                      # input X
+        + 3 * D1               # SA out, 1x1 conv out, subject-layer out
+        + 5 * 4 * D2           # per ConvBlock: conv0/conv1 outs, conv2a/b
+        + 2 * D2               # conv_final1 out
+        + 2 * F                # conv_final2 out (Z) + gathered Y row
+    ) * T
+    act = B * per_sample_floats * dtype_bytes
+    logits = B * B * 4  # CLIP logits accumulate f32
+    return (act + logits) / 1e9
+
+
+def _oom_skip_reason(e) -> str | None:
+    """Classify an exception as an out-of-memory denial (→ a 'skipped' row,
+    not an error-shaped one) — allocation failures on this backend surface
+    as RESOURCE_EXHAUSTED / 'out of memory' XlaRuntimeError messages."""
+    msg = f"{type(e).__name__}: {e}".lower()
+    for pat in ("resource_exhausted", "out of memory", "allocation",
+                "exceeds the hbm", "oom"):
+        if pat in msg:
+            return "oom_at_runtime"
+    return None
+
+
 def _time_steps(fused, state, packed, B, n_steps, n_windows, rng):
     import jax
 
@@ -140,6 +173,11 @@ def main():
                     help="skip the full-scale sentence-split HBM-fit check")
     ap.add_argument("--skip-cached-stats", action="store_true",
                     help="skip the cache_collate_stats=true rows")
+    ap.add_argument("--hbm-budget-gb", type=float, default=13.5,
+                    help="usable single-chip HBM for the capacity pre-check "
+                         "(v5e has 16 GB; XLA reserves part). Batch rows "
+                         "whose estimated residency exceeds this are "
+                         "emitted as skipped rows instead of attempted")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--windows", type=int, default=5)
     ap.add_argument("--tiny", action="store_true",
@@ -352,7 +390,11 @@ def main():
             except Exception as e2:  # noqa: BLE001
                 # distinct key: this is the SWEEP failing, not the cached
                 # step row (which reports cached_stats_error below)
-                extras["collate_stats_sweep_error"] = type(e2).__name__
+                reason = _oom_skip_reason(e2)
+                if reason:
+                    extras["collate_stats_sweep_skipped"] = reason
+                else:
+                    extras["collate_stats_sweep_error"] = type(e2).__name__
                 stats = None
                 _cleanup()
     if not args.skip_cached_stats and stats is not None:
@@ -363,7 +405,11 @@ def main():
         try:
             dtc = bench_dtype(None, cache_stats=stats)
         except Exception as e:  # noqa: BLE001
-            extras["cached_stats_error"] = type(e).__name__
+            reason = _oom_skip_reason(e)
+            if reason:
+                extras["cached_stats_skipped"] = reason
+            else:
+                extras["cached_stats_error"] = type(e).__name__
         else:
             extras["cached_stats_samples_per_sec"] = round(B / dtc, 2)
         del stats  # free the ~0.9 GB table before the next sections
@@ -469,7 +515,11 @@ def main():
             dt_sp = bench_scan_epoch(jnp.bfloat16, batch=B2,
                                      cache_stats=True, gelu_tanh=True)
         except Exception as e:  # noqa: BLE001
-            extras["scan_epoch_promoted_error"] = type(e).__name__
+            reason = _oom_skip_reason(e)
+            if reason:
+                extras["scan_epoch_promoted_skipped"] = reason
+            else:
+                extras["scan_epoch_promoted_error"] = type(e).__name__
             _cleanup()
         else:
             extras["scan_epoch_promoted_samples_per_sec"] = round(
@@ -513,7 +563,11 @@ def main():
                 dtcb = bench_dtype(jnp.bfloat16, batch=bb, cache_stats=stats2,
                                    gelu_tanh=gelu_tanh)
             except Exception as e:  # noqa: BLE001
-                extras[f"{key}_error"] = type(e).__name__
+                reason = _oom_skip_reason(e)
+                if reason:
+                    extras[f"{key}_skipped"] = reason
+                else:
+                    extras[f"{key}_error"] = type(e).__name__
                 _cleanup()
             else:
                 extras[f"{key}_samples_per_sec"] = round(bb / dtcb, 2)
@@ -524,6 +578,13 @@ def main():
                     del stats2
             _partial(extras)
 
+        # capacity pre-check baseline: the HBM-resident dataset plus params +
+        # optimizer state + allocator workspace (~0.3 GB for this ~10M-param
+        # model). Rows whose ESTIMATED residency exceeds the budget are
+        # emitted as skipped — never attempted (VERDICT r4 #5: a doomed
+        # attempt both reads like a crash and can strand HBM for the rest
+        # of the process on this backend)
+        resident_gb = hbm_gb + 0.3
         for bx in batches:
             flops_b = _analytic_step_flops(bx, C, seq_len, D1, D2, F, K)
             # bf16 BEFORE f32 at each size: the smaller-footprint row is
@@ -532,10 +593,22 @@ def main():
             for dtype, tag in ((jnp.bfloat16, "bf16_"), (None, "")):
                 if dtype is not None and args.skip_bf16:
                     continue
+                est_gb = resident_gb + _estimate_step_hbm_gb(
+                    bx, C, seq_len, D1, D2, F,
+                    dtype_bytes=2 if dtype is not None else 4)
+                if est_gb > args.hbm_budget_gb:
+                    extras[f"b{bx}_{tag}skipped"] = "exceeds_hbm_estimate"
+                    extras[f"b{bx}_{tag}est_hbm_gb"] = round(est_gb, 2)
+                    _partial(extras)
+                    continue
                 try:
                     dt_b = bench_dtype(dtype, batch=bx)
                 except Exception as e:  # noqa: BLE001 — record OOM, keep going
-                    extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
+                    reason = _oom_skip_reason(e)
+                    if reason:
+                        extras[f"b{bx}_{tag}skipped"] = reason
+                    else:
+                        extras[f"b{bx}_{tag}error"] = f"{type(e).__name__}"
                     _cleanup()
                     continue
                 extras[f"b{bx}_{tag}samples_per_sec"] = round(bx / dt_b, 2)

@@ -52,3 +52,37 @@ def test_bench_fails_bounded_when_device_unreachable():
     assert p.returncode == 1, (p.returncode, p.stdout, p.stderr[-500:])
     row = json.loads(p.stdout.strip().splitlines()[-1])
     assert "error" in row and row["value"] == 0.0
+
+
+def test_capacity_precheck_skips_doomed_rows():
+    """VERDICT r4 #5: the big-batch rows that cannot fit beside the
+    HBM-resident dataset must be SKIPPED by the capacity pre-check, not
+    attempted and recorded as error strings.  At full scale (9.34 GB
+    dataset): f32 B=512 and both B=1024 rows exceed the 13.5 GB budget;
+    B=256 and the capacity-marginal bf16 B=512 still attempt (the shared
+    chip makes that zone non-deterministic — a runtime denial classifies
+    as 'oom_at_runtime')."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod", os.path.join(REPO, "bench.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    resident = 9.34 + 0.3
+    budget = 13.5
+
+    def est(bx, db):
+        return resident + m._estimate_step_hbm_gb(bx, 208, 360, 270, 320,
+                                                  1024, db)
+
+    assert est(256, 4) <= budget      # the measurement-critical rows...
+    assert est(256, 2) <= budget      # ...must never be pre-skipped
+    assert est(512, 2) <= budget      # marginal: attempt under the guard
+    assert est(512, 4) > budget       # round-4 error rows: pre-skipped
+    assert est(1024, 2) > budget
+    assert est(1024, 4) > budget
+
+    assert m._oom_skip_reason(
+        RuntimeError("RESOURCE_EXHAUSTED: out of memory")) == "oom_at_runtime"
+    assert m._oom_skip_reason(RuntimeError("Broken pipe")) is None
