@@ -78,6 +78,10 @@ class BrainEncoder(nn.Module):
     # tanh-approximate GELU everywhere (ConvBlocks + final projections):
     # opt-in perf deviation, see models/layers.py ConvBlock
     gelu_approximate: bool = False
+    # explicit GELU impl: 'erf' | 'tanh' | 'erf_poly' (ops/gelu.py —
+    # erf_poly is f32-exact to <=2.5 ulp, measured faster than XLA's erf
+    # lowering); None defers to gelu_approximate
+    gelu_impl: str | None = None
     # emit_f32=False keeps Z in the compute dtype (bf16) into the loss —
     # symmetric with the bf16 Y-gather cast (PARITY deviation 15); the
     # factored CLIP loss still accumulates the logits and norms in f32
@@ -87,6 +91,9 @@ class BrainEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
+        from meg_decoding_tpu.ops.gelu import gelu as gelu_fn, resolve_impl
+
+        gimpl = resolve_impl(self.gelu_impl, self.gelu_approximate)
         X = jnp.swapaxes(X, 1, 2)  # (B, C, T) → (B, T, C)
         X = SubjectBlock(
             loc=self.loc,
@@ -101,18 +108,17 @@ class BrainEncoder(nn.Module):
             X = ConvBlock(k=k, D2=self.D2, dtype=self.dtype,
                           bn_impl=self.bn_impl,
                           gelu_approximate=self.gelu_approximate,
+                          gelu_impl=self.gelu_impl,
                           name=f"conv{k}")(
                 X, train=train)
-        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
-                                 dtype=self.dtype,
-                                 kernel_init=torch_kernel_init,
-                                 bias_init=torch_bias_init(self.D2))(X),
-                        approximate=self.gelu_approximate)
-        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
-                                 dtype=self.dtype,
-                                 kernel_init=torch_kernel_init,
-                                 bias_init=torch_bias_init(2 * self.D2))(X),
-                        approximate=self.gelu_approximate)
+        X = gelu_fn(nn.Dense(2 * self.D2, name="conv_final1",
+                             dtype=self.dtype,
+                             kernel_init=torch_kernel_init,
+                             bias_init=torch_bias_init(self.D2))(X), gimpl)
+        X = gelu_fn(nn.Dense(self.F, name="conv_final2",
+                             dtype=self.dtype,
+                             kernel_init=torch_kernel_init,
+                             bias_init=torch_bias_init(2 * self.D2))(X), gimpl)
         if self.emit_f32:
             X = X.astype(jnp.float32)  # loss/metrics always run f32
         if self.seq2seq:
@@ -146,10 +152,14 @@ class BrainEncoderSeq2Static(nn.Module):
     # the model silently ignored)
     dtype: jnp.dtype | None = None
     gelu_approximate: bool = False
+    gelu_impl: str | None = None
     emit_f32: bool = True
 
     @nn.compact
     def __call__(self, X, subject_idxs, *, train: bool = False):
+        from meg_decoding_tpu.ops.gelu import gelu as gelu_fn, resolve_impl
+
+        gimpl = resolve_impl(self.gelu_impl, self.gelu_approximate)
         X = jnp.swapaxes(X, 1, 2)
         X = SubjectBlock(
             loc=self.loc,
@@ -164,6 +174,7 @@ class BrainEncoderSeq2Static(nn.Module):
             X = ConvBlock(k=k, D2=self.D2, ks=int(self.ks_list[k]),
                           bn_impl=self.bn_impl, dtype=self.dtype,
                           gelu_approximate=self.gelu_approximate,
+                          gelu_impl=self.gelu_impl,
                           name=f"conv{k}")(
                 X, train=train
             )
@@ -177,16 +188,14 @@ class BrainEncoderSeq2Static(nn.Module):
                              keepdims=True).astype(X.dtype)
             else:
                 X = jnp.mean(X, axis=1, keepdims=True)  # global average pool
-        X = jax.nn.gelu(nn.Dense(2 * self.D2, name="conv_final1",
-                                 dtype=self.dtype,
-                                 kernel_init=torch_kernel_init,
-                                 bias_init=torch_bias_init(self.D2))(X),
-                        approximate=self.gelu_approximate)
-        X = jax.nn.gelu(nn.Dense(self.F, name="conv_final2",
-                                 dtype=self.dtype,
-                                 kernel_init=torch_kernel_init,
-                                 bias_init=torch_bias_init(2 * self.D2))(X),
-                        approximate=self.gelu_approximate)
+        X = gelu_fn(nn.Dense(2 * self.D2, name="conv_final1",
+                             dtype=self.dtype,
+                             kernel_init=torch_kernel_init,
+                             bias_init=torch_bias_init(self.D2))(X), gimpl)
+        X = gelu_fn(nn.Dense(self.F, name="conv_final2",
+                             dtype=self.dtype,
+                             kernel_init=torch_kernel_init,
+                             bias_init=torch_bias_init(2 * self.D2))(X), gimpl)
         if self.emit_f32:
             X = X.astype(jnp.float32)
         return X[:, 0, :]  # (B, F): time dim already collapsed to 1

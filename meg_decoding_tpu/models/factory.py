@@ -49,10 +49,10 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
         # lever the model didn't consume
         import warnings
 
-        for flag in ("gelu_approximate", "emit_bf16_z"):
-            if bool(cfg.get(flag, False)):
+        for flag in ("gelu_approximate", "emit_bf16_z", "gelu_impl"):
+            if cfg.get(flag, None):
                 warnings.warn(
-                    f"config sets {flag}: true but model {name!r} has no "
+                    f"config sets {flag} but model {name!r} has no "
                     "such lever — ignored", stacklevel=2)
     if name in ("linear",):
         return LinearEncoder(scp=bool(cfg.get("scp", True)), out_dim=_resolve_F(cfg))
@@ -110,6 +110,9 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
                             # default erf matches torch F.gelu
                             gelu_approximate=bool(
                                 cfg.get("gelu_approximate", False)),
+                            # 'erf' | 'tanh' | 'erf_poly' (ops/gelu.py);
+                            # unset defers to gelu_approximate
+                            gelu_impl=cfg.get("gelu_impl", None),
                             # bf16 Z into the loss (only meaningful with
                             # compute_dtype: bfloat16) — PARITY deviation 15
                             # extended to the Z side
@@ -122,6 +125,7 @@ def get_model(cfg, loc: np.ndarray | None = None, num_channels: int | None = Non
             loc=loc, ks_list=ks_list,
             dtype=_compute_dtype(cfg),
             gelu_approximate=bool(cfg.get("gelu_approximate", False)),
+            gelu_impl=cfg.get("gelu_impl", None),
             emit_f32=not bool(cfg.get("emit_bf16_z", False)),
             **common)
     raise AssertionError("unreachable")

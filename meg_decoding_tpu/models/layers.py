@@ -226,9 +226,16 @@ class ConvBlock(nn.Module):
     # transcendentals (tools/trace_b256_bf16_cached.json); the tanh form is
     # a documented opt-in perf deviation (PARITY.md)
     gelu_approximate: bool = False
+    # explicit GELU implementation override: 'erf' | 'tanh' | 'erf_poly'
+    # (ops/gelu.py — erf_poly is the f32-exact fast path, ≤2.5 ulp of erf);
+    # None defers to gelu_approximate
+    gelu_impl: str | None = None
 
     @nn.compact
     def __call__(self, X: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        from meg_decoding_tpu.ops.gelu import gelu as gelu_fn, resolve_impl
+
+        gimpl = resolve_impl(self.gelu_impl, self.gelu_approximate)
         conv = lambda feats, cin, name: nn.Conv(
             features=feats, kernel_size=(self.ks,), padding="SAME", name=name,
             dtype=self.dtype, kernel_init=torch_kernel_init,
@@ -241,14 +248,14 @@ class ConvBlock(nn.Module):
             use_running_average=not train, momentum=self.bn_momentum, name="bn0",
             dtype=self.dtype, impl=self.bn_impl,
         )(h)
-        h = jax.nn.gelu(h, approximate=self.gelu_approximate)
+        h = gelu_fn(h, gimpl)
 
         h2 = conv(self.D2, self.D2, "conv1")(h) + h
         h2 = FusedBatchNorm(
             use_running_average=not train, momentum=self.bn_momentum, name="bn1",
             dtype=self.dtype, impl=self.bn_impl,
         )(h2)
-        h2 = jax.nn.gelu(h2, approximate=self.gelu_approximate)
+        h2 = gelu_fn(h2, gimpl)
 
         # GLU over features (models.py:320).  The reference's single
         # 2·D2-wide conv followed by a split forces XLA to relayout the

@@ -22,6 +22,7 @@ disagreement — tests/test_golden_fir.py runs the same comparison in CI.
 """
 
 import argparse
+import hashlib
 import os
 import sys
 
@@ -67,7 +68,8 @@ def write_self():
         path = os.path.join(GOLDEN_DIR, _name("self", sfreq, l, hf))
         np.savez(path, h=h, freqs=w, mag=mag, sfreq=sfreq, l_freq=l,
                  h_freq=hf)
-        print(f"wrote {path} (len {len(h)})")
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()[:16]
+        print(f"wrote {path} (len {len(h)}, sha256 {digest})")
 
 
 def write_mne():
@@ -83,7 +85,9 @@ def write_mne():
         path = os.path.join(GOLDEN_DIR, _name("mne", sfreq, l, hf))
         np.savez(path, h=h, freqs=w, mag=mag, sfreq=sfreq, l_freq=l,
                  h_freq=hf)
-        print(f"wrote {path} (len {len(h)}, exact MNE values)")
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()[:16]
+        print(f"wrote {path} (len {len(h)}, exact MNE values, "
+              f"sha256 {digest})")
 
 
 def check() -> bool:

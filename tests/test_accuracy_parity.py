@@ -344,7 +344,9 @@ def test_tanh_gelu_certified_no_accuracy_loss():
     below the observed per-seed floor (the 10-seed range on this task is
     ~0.24-0.45; the single-anchor tests' 0.30 gate is calibrated to their
     own seeds, not these).  Values in RESULTS.md."""
-    seeds = tuple(range(1, 11))
+    seeds = tuple(range(1, 21))  # round 5: 10 → 20 seeds (VERDICT r4 weak
+    # #1: the 10-seed bound cleared the gate by only 0.07 pts; doubling N
+    # shrinks the CI ~1/√2 and the t quantile from 2.262 to 2.093)
     diffs, rows = [], []
     for s in seeds:
         ae, at = _run_gelu_pair(seed=s)

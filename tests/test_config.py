@@ -115,6 +115,44 @@ class TestShippedConfigs:
                 == len(sub.train.trigger) == len(sub.train.rest)
             assert len(sub.val.mat) == len(sub.val.labels)
 
+    def test_pattern_manifests_compose_multi_subject(self, tmp_path):
+        """Pattern composition manifests (reference
+        configs_bu0501/subjects/pattern_*.yaml — the multi-subject GOD
+        mechanism): an experiment config pulls subjects/pattern_small and
+        gets BOTH subjects' reduced manifests deep-merged under
+        ``subjects:``, exactly like the reference's
+        pattern_small -> sbj01_small + sbj02_small chain."""
+        import shutil
+
+        cdir = tmp_path / "configs"
+        shutil.copytree(os.path.join(REPO, "configs"), cdir)
+        (cdir / "exp_small.yaml").write_text(
+            "defaults:\n"
+            "  - subjects/pattern_small\n"
+            "  - _self_\n"
+            "model: eegnet\n")
+        cfg = compose(str(cdir), "exp_small")
+        assert sorted(cfg.subjects.keys()) == ["sbj01", "sbj02"]
+        # the _small variants carry session SUBSETS of the full manifests
+        assert len(cfg.subjects.sbj02.train.mat) == 1
+        assert cfg.subjects.sbj01.fs == 1000
+        assert cfg.model == "eegnet"
+
+        (cdir / "exp_a.yaml").write_text(
+            "defaults:\n"
+            "  - subjects/patternA\n"
+            "  - _self_\n")
+        cfg3 = compose(str(cdir), "exp_a")
+        assert sorted(cfg3.subjects.keys()) == ["sbj01", "sbj02", "sbj03"]
+        assert len(cfg3.subjects.sbj03.train.mat) == 12
+
+        for pat, subs in (("pattern_sbj01", ["sbj01"]),
+                          ("pattern_mini", ["sbj01"])):
+            (cdir / "exp_p.yaml").write_text(
+                f"defaults:\n  - subjects/{pat}\n  - _self_\n")
+            got = compose(str(cdir), "exp_p")
+            assert sorted(got.subjects.keys()) == subs
+
 
 class TestMergeAndRoundtrip:
     def test_deep_merge_override_wins(self):

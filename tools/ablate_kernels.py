@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--clip", default="factored",
                     help="comma list of clip impls (factored|normalized)")
     ap.add_argument("--gelu", default="exact",
-                    help="comma list of gelu impls (exact|tanh)")
+                    help="comma list of gelu impls (exact|tanh|erf_poly)")
     ap.add_argument("--zdtype", default="f32",
                     help="comma list of Z emit dtypes (f32|bf16)")
     args = ap.parse_args()
@@ -83,7 +83,8 @@ def main():
               clip_impl="factored", gelu="exact", zdtype="f32"):
         model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
                              seq2seq=True, dtype=dtype, bn_impl=bn_impl,
-                             gelu_approximate=(gelu == "tanh"),
+                             gelu_impl={"exact": "erf", "tanh": "tanh",
+                                        "erf_poly": "erf_poly"}[gelu],
                              emit_f32=(zdtype == "f32"))
         example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
                    jnp.zeros((B,), jnp.int32))
