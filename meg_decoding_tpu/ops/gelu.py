@@ -7,13 +7,27 @@ B=256 seq2seq (round-4 trace, RESULTS.md); the tanh-approximate GELU
 reclaimed that but deviates from erf by up to ~3e-4 on activations (PARITY
 deviation 17, certified non-inferior but still a deviation).
 
-``gelu_erf_poly`` reclaims the same cost WITHOUT the accuracy deviation: a
-piecewise-polynomial erf accurate to ≤2.5 f32 ulp everywhere (measured on
-a 2M-point grid against float64 scipy.special.erf, tests/test_ops.py),
-with NO transcendental at all — the on-chip ablation showed the cost of
-BOTH XLA's erf and an exp-based erfc formulation is dominated by the one
-``exp`` they evaluate (XLA's tanh lowering is an exp-free rational, which
-is why the tanh form was 11 ms/step faster); this version is pure FMAs:
+``gelu_erf_poly`` reclaims PART of that cost WITHOUT the accuracy
+deviation: a piecewise-polynomial erf accurate to ≤2.5 f32 ulp everywhere
+(measured on a 2M-point grid against float64 scipy.special.erf,
+tests/test_ops.py), with NO transcendental at all.  Round-5 on-chip
+measurements (interleaved windows, B=256 bf16 cached, ms/step) settled
+the cost model — and FALSIFIED the round-4 hypothesis that the single
+``exp`` in XLA's erfc lowering was the gap:
+
+  exact erf 50.9 | erf_poly (autodiff bwd) 51.8 | erf_poly + custom JVP
+  46.0 | tanh 38.8
+
+i.e. the exp-free forward alone is NO faster than XLA's erf — the erf→
+tanh gap is total VPU op count (XLA's tanh is a short hardware-cheap
+rational; any ~26-coefficient piecewise erf costs about what XLA's erfc
+does).  What DOES pay is the backward: autodiff through the three Horner
+branches roughly doubles the op count, while the hand-written JVP below
+(the analytic Φ(x) + x·φ(x), torch's own F.gelu backward form) makes
+``erf_poly`` −4.9 ms/step (−10%) vs exact erf with f32-exact numerics.
+The dispatcher therefore serves ``'erf_poly'`` with the custom JVP;
+``tanh`` remains the fastest lever (PARITY dev. 17, certified) and
+``erf_poly`` is the zero-deviation middle option.  The forward:
 
   |u| ≤ 1          erf(u) = u · P₆(u²)          (odd poly — relative-
                                                  accurate through zero)
@@ -33,7 +47,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["erf_poly", "gelu_erf_poly", "gelu", "resolve_impl"]
+__all__ = ["erf_poly", "gelu_erf_poly", "gelu_erf_poly_cjvp", "gelu",
+           "resolve_impl"]
 
 
 def resolve_impl(impl: str | None, approximate: bool) -> str:
@@ -98,14 +113,43 @@ def gelu_erf_poly(x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+@jax.custom_jvp
+def gelu_erf_poly_cjvp(x: jnp.ndarray) -> jnp.ndarray:
+    """``gelu_erf_poly`` with a hand-written JVP: the analytic GELU
+    derivative Φ(x) + x·φ(x) (the SAME closed form torch autograd applies to
+    ``F.gelu``'s backward) instead of autodiff through the three Horner
+    branches — autodiff of the piecewise polynomial roughly doubles the
+    backward's VPU op count for the same mathematical derivative."""
+    return gelu_erf_poly(x)
+
+
+@gelu_erf_poly_cjvp.defjvp
+def _gelu_erf_poly_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    x32 = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + erf_poly(x32 * _SQRT_HALF))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x32 * x32)
+    out = (x32 * cdf).astype(x.dtype)
+    dout = ((cdf + x32 * pdf) * t.astype(jnp.float32)).astype(x.dtype)
+    return out, dout
+
+
 def gelu(x: jnp.ndarray, impl: str = "erf") -> jnp.ndarray:
     """GELU dispatcher: 'erf' (XLA's exact lowering — the reference's
-    ``F.gelu``), 'erf_poly' (this module — same function to ≤2.5 ulp,
-    measured faster on v5e), 'tanh' (the approximate form, PARITY dev 17)."""
+    ``F.gelu``), 'erf_poly' (this module with the custom JVP — same
+    function to a few ulp, measured −10% step time vs 'erf' on v5e),
+    'tanh' (the approximate form, PARITY dev 17 — fastest, certified),
+    'erf_poly_autodiff' (measurement hook: the polynomial with autodiff
+    backward — measured NO faster than 'erf')."""
     if impl == "erf":
         return jax.nn.gelu(x, approximate=False)
     if impl == "tanh":
         return jax.nn.gelu(x, approximate=True)
     if impl == "erf_poly":
+        return gelu_erf_poly_cjvp(x)
+    if impl == "erf_poly_autodiff":  # A/B hook (tools/ablate_kernels.py)
         return gelu_erf_poly(x)
     raise ValueError(f"unknown gelu impl {impl!r}")

@@ -373,6 +373,25 @@ class TestGeluErfPoly:
         assert np.all(np.abs(want_bf16[neq]) <= 3e-3)
         assert np.abs(got - want_bf16).max() < 5e-5
 
+    def test_gelu_erf_poly_cjvp_value_and_grad(self):
+        """The custom-JVP wrapper is bit-identical to gelu_erf_poly in the
+        forward and its hand-written tangent (Φ(x) + x·φ(x) — the same
+        closed form torch autograd applies to F.gelu's backward) matches
+        the torch gradient to the same tolerance as the autodiff path."""
+        torch = pytest.importorskip("torch")
+
+        from meg_decoding_tpu.ops.gelu import (gelu_erf_poly,
+                                               gelu_erf_poly_cjvp)
+
+        x = np.linspace(-6.0, 6.0, 20_001).astype(np.float32)
+        xj = jnp.asarray(x)
+        np.testing.assert_array_equal(np.asarray(gelu_erf_poly_cjvp(xj)),
+                                      np.asarray(gelu_erf_poly(xj)))
+        g = np.asarray(jax.vmap(jax.grad(gelu_erf_poly_cjvp))(xj))
+        xt = torch.tensor(x, requires_grad=True)
+        torch.nn.functional.gelu(xt).sum().backward()
+        np.testing.assert_allclose(g, xt.grad.numpy(), atol=2e-5, rtol=1e-4)
+
     def test_dispatcher_and_model_flag(self):
         from meg_decoding_tpu.ops.gelu import gelu, resolve_impl
 

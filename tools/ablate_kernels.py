@@ -83,8 +83,7 @@ def main():
               clip_impl="factored", gelu="exact", zdtype="f32"):
         model = BrainEncoder(loc=loc, num_subjects=S, D1=D1, D2=D2, F=F, K=K,
                              seq2seq=True, dtype=dtype, bn_impl=bn_impl,
-                             gelu_impl={"exact": "erf", "tanh": "tanh",
-                                        "erf_poly": "erf_poly"}[gelu],
+                             gelu_impl={"exact": "erf"}.get(gelu, gelu),
                              emit_f32=(zdtype == "f32"))
         example = (jnp.zeros((B, C, seq_len)), jnp.zeros((B, F, seq_len)),
                    jnp.zeros((B,), jnp.int32))
