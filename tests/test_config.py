@@ -98,6 +98,22 @@ class TestShippedConfigs:
         assert "preprocs" in cfg and "brain_resample_rate" in cfg.preprocs
         assert cfg.loss.kind == "clip"
 
+    def test_throughput_exact_preset_composes(self):
+        """The zero-deviation perf recipe (round 5): bf16 + cached stats +
+        the few-ulp-exact polynomial erf GELU; gelu_approximate stays off
+        so the resolved impl is erf_poly, not tanh."""
+        cfg = compose(os.path.join(REPO, "configs"), "throughput_exact")
+        assert cfg.compute_dtype == "bfloat16"
+        assert cfg.batch_size == 256
+        assert cfg.cache_collate_stats is True
+        assert cfg.gelu_impl == "erf_poly"
+        assert cfg.gelu_approximate is False
+
+        from meg_decoding_tpu.ops.gelu import resolve_impl
+
+        assert resolve_impl(cfg.gelu_impl, cfg.gelu_approximate) == "erf_poly"
+        assert "preprocs" in cfg and cfg.loss.kind == "clip"
+
     def test_subject_manifest_composes(self):
         cfg = compose(os.path.join(REPO, "configs"), "config_GOD",
                       overrides=["batch_size=8"])
